@@ -1,0 +1,67 @@
+"""Benchmark: SeqPAN batch-eval throughput in queries/sec/chip.
+
+This is BASELINE.json's north-star metric ("queries/sec/chip batch eval").
+We time the full jitted eval step — forward + masked-softmax span inference —
+on Charades SeqPAN dims (vlen 64, dim 128, vdim 1024, batch 128) with
+synthetic inputs, on one chip.
+
+``vs_baseline`` divides by an ESTIMATED single-GPU PyTorch reference
+throughput.  The reference repo records no throughput numbers (its
+consume_time logging is unfilled, see BASELINE.md); 2000 q/s is our estimate
+for its eager per-batch pipeline (batch 128 at ~60ms/forward+host-side
+inference on a V100-class GPU).  BASELINE.json's speed target is >=10x this.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_GPU_QPS_ESTIMATE = 2000.0
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _build, _make_cfg
+
+    batch_size = 128
+    cfg = _make_cfg(batch_size=batch_size)
+    model, entry, derived, batch, _ = _build(cfg, batch_size=batch_size)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng, "gumbel": rng}, batch, True)
+
+    @jax.jit
+    def eval_step(variables, batch):
+        outputs = model.apply(variables, batch, True)
+        return entry.infer_fn(outputs, batch, cfg)
+
+    device = jax.devices()[0]
+    variables = jax.device_put(variables, device)
+    batch = jax.device_put(batch, device)
+
+    # warmup / compile
+    eval_step(variables, batch)[0].block_until_ready()
+
+    n_iters = 50
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = eval_step(variables, batch)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    qps = batch_size * n_iters / dt
+    print(json.dumps({
+        "metric": "seqpan_eval_queries_per_sec_per_chip",
+        "value": round(qps, 1),
+        "unit": "queries/sec/chip",
+        "vs_baseline": round(qps / REFERENCE_GPU_QPS_ESTIMATE, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,27 @@
+"""Test config: force an 8-device virtual CPU platform so every test
+exercises the multi-device data-parallel path without TPUs.
+
+Note: this machine's sitecustomize pins jax_platforms to the 'axon' TPU
+tunnel, which ignores the JAX_PLATFORMS env var — we must override via
+jax.config BEFORE any jax computation runs.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def charades_cfg():
+    from vmrframe_tpu.config import load_config
+
+    return load_config(os.path.join(os.path.dirname(__file__), "configs", "charades_seqpan.yaml"))

@@ -1,0 +1,127 @@
+"""Train-time video augmentation + fixed-grid resampling (NumPy).
+
+Behavioral port of utils/data_utils.py:90-200 from the reference:
+
+- ``video_augmentation``: build a binary frame label from the fractional gt
+  span, then apply one augmentation drawn uniformly from the config keys —
+  ``unchanged``, ``dilation`` (prepend/append negative-segment features) or
+  ``erosion`` (random crop keeping the gt inside).
+- ``interpolate_average``: mean-pool a (T, D) sequence onto a fixed
+  ``size``-point grid — the segment boundaries replicate the reference's
+  rounding exactly (np.round == torch.round, both half-to-even).
+- ``sample_vfeat_linear``: ``original`` / ``truncation`` / ``samelen`` modes.
+
+Everything returns plain float32 numpy; the resample is vectorized with a
+cumulative-sum trick instead of the reference's per-segment Python loop.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, Tuple
+
+import numpy as np
+
+from vmrframe_tpu.metrics import frac_idx
+
+
+def select_negative_segment(seglen: int, vfeat: np.ndarray, label: np.ndarray, rng: random.Random) -> np.ndarray:
+    """Random contiguous slice of the out-of-moment frames, tiled if short
+    (reference utils/data_utils.py:90-101)."""
+    neg = vfeat[label == 0]
+    if neg.shape[0] == 0:
+        neg = np.random.default_rng(rng.randrange(2**32)).random(vfeat.shape, dtype=np.float32)
+    while len(neg) < seglen:
+        neg = np.concatenate([neg, neg])
+    r = rng.randint(0, len(neg) - seglen)
+    return neg[r : r + seglen]
+
+
+def feature_dilation(vfeat: np.ndarray, label: np.ndarray, p: float, rng: random.Random):
+    vlen = vfeat.shape[0]
+    head_len = int(round(rng.random() * p * vlen))
+    tail_len = int(round(rng.random() * p * vlen))
+    head_vfeat = select_negative_segment(head_len, vfeat, label, rng)
+    tail_vfeat = select_negative_segment(tail_len, vfeat, label, rng)
+    new_vfeat = np.concatenate([head_vfeat, vfeat, tail_vfeat])
+    new_label = np.concatenate([np.zeros(head_len, np.float32), label, np.zeros(tail_len, np.float32)])
+    return new_vfeat, new_label
+
+
+def feature_erosion(vfeat: np.ndarray, label: np.ndarray, p: float, rng: random.Random):
+    hit = np.where(label >= 0.01)[0]
+    ori_sidx, ori_eidx = int(hit.min()), int(hit.max())
+    vlen = vfeat.shape[0]
+    # rejection-sample crop boundaries that keep the gt span inside; the
+    # reference loops unboundedly (data_utils.py:128-138) — we cap and clamp
+    head_len = 0
+    for _ in range(100):
+        cand = int(round(rng.random() * p * vlen))
+        if 0 <= cand <= ori_sidx:
+            head_len = cand
+            break
+    tail_len = vlen - 1
+    for _ in range(100):
+        cand = vlen - 1 - int(round(rng.random() * p * vlen))
+        if ori_eidx <= cand <= vlen - 1:
+            tail_len = cand
+            break
+    return vfeat[head_len : tail_len + 1], label[head_len : tail_len + 1]
+
+
+def video_augmentation(
+    sfrac: float, efrac: float, vfeat: np.ndarray, aug: Dict[str, float], rng: random.Random
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Reference utils/data_utils.py:141-158."""
+    vlen = vfeat.shape[0]
+    label = np.zeros(vlen, dtype=np.float32)
+    sidx, eidx = frac_idx([sfrac, efrac], vlen)
+    label[sidx : eidx + 1] = 1.0
+    k = rng.choice(list(aug.keys()))
+    if k == "unchanged":
+        new_vfeat, new_label = vfeat, label
+    elif k == "dilation":
+        new_vfeat, new_label = feature_dilation(vfeat, label, aug[k], rng)
+    elif k == "erosion":
+        new_vfeat, new_label = feature_erosion(vfeat, label, aug[k], rng)
+    else:
+        raise NotImplementedError(f"unknown augmentation {k!r}")
+    assert new_vfeat.shape[0] == new_label.shape[0]
+    return new_vfeat, new_label
+
+
+def _segment_bounds(vlen: int, size: int) -> np.ndarray:
+    """The reference's resampling grid (data_utils.py:161-166): round
+    (arange(size)/size*(vlen-1)) ++ [vlen], half-to-even like torch.round."""
+    idxs = np.arange(0, size, 1.0) / size * (vlen - 1)
+    idxs = np.concatenate([idxs, [float(vlen)]])
+    return np.round(idxs).astype(np.int64)
+
+
+def interpolate_average(x: np.ndarray, size: int) -> np.ndarray:
+    """Mean-pool (T, ...) onto ``size`` points — vectorized equivalent of the
+    reference's per-segment loop (data_utils.py:161-175)."""
+    vlen = x.shape[0]
+    bounds = _segment_bounds(vlen, size)
+    starts, ends = bounds[:-1], bounds[1:]
+    flat = x.reshape(vlen, -1).astype(np.float64)
+    csum = np.concatenate([np.zeros((1, flat.shape[1])), np.cumsum(flat, axis=0)])
+    counts = (ends - starts).astype(np.float64)
+    seg_mean = (csum[ends] - csum[starts]) / np.maximum(counts, 1.0)[:, None]
+    # empty segments (s == e) take the single frame at s
+    take = flat[np.minimum(starts, vlen - 1)]
+    out = np.where((counts > 0)[:, None], seg_mean, take)
+    return out.reshape((size,) + x.shape[1:]).astype(np.float32)
+
+
+def sample_vfeat_linear(vfeat: np.ndarray, label: np.ndarray, max_vlen: int, sample_method: str):
+    """Reference data_utils.py:177-200."""
+    if sample_method == "original":
+        return vfeat, label
+    if sample_method == "truncation":
+        if vfeat.shape[0] <= max_vlen:
+            return vfeat, label
+        return interpolate_average(vfeat, max_vlen), interpolate_average(label, max_vlen)
+    if sample_method == "samelen":
+        return interpolate_average(vfeat, max_vlen), interpolate_average(label, max_vlen)
+    raise ValueError(f"unknown sample_method {sample_method!r}")

@@ -1,0 +1,175 @@
+"""Static-shape batch assembly + host-side prefetch.
+
+TPU-first replacement for the reference's Dataset/Collate pair
+(utils/BaseDataset.py:10-235) and single-process DataLoader
+(utils/DataLoader.py:4-15):
+
+- every batch has the SAME shapes: (B, vlen, vdim) features, (B, tlen) word
+  ids, (B, tlen, char_len) char ids, plus masks — the last partial batch is
+  padded and carries a ``sample_mask`` so metrics/losses stay exact;
+- per-vid resampled features are cached for the ``unchanged`` augmentation
+  path (deterministic), so steady-state epochs only do cheap label math;
+- ``BatchPrefetcher`` overlaps next-batch host assembly + H2D transfer with
+  device compute (double buffering, the "input pipeline" of BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from vmrframe_tpu.data.augment import sample_vfeat_linear, video_augmentation
+from vmrframe_tpu.data.labels import dist_idx_label, label_span_from_curve, ner_label
+
+
+class Batcher:
+    """Assemble fixed-shape numpy batches from records + a feature store."""
+
+    def __init__(self, dataset: List[dict], feature_store, cfg, derived, loadertype: str,
+                 batch_size: Optional[int] = None):
+        self.dataset = dataset
+        self.features = feature_store
+        self.cfg = cfg
+        self.derived = derived
+        self.loadertype = loadertype
+        self.batch_size = batch_size or cfg.train.batch_size
+        self.vlen = cfg.model.vlen
+        self.tlen = cfg.model.tlen
+        self.vdim = cfg.model.vdim
+        self.char_len = derived.char_len
+        self.aug = dict(cfg.dataprocess.video_augmentation.to_dict()) if hasattr(
+            cfg.dataprocess.video_augmentation, "to_dict") else dict(cfg.dataprocess.video_augmentation)
+        self.sample_type = cfg.dataprocess.sample_type
+        self._resample_cache: Dict[str, np.ndarray] = {}
+        self._aug_is_identity = set(self.aug.keys()) == {"unchanged"}
+
+    def __len__(self) -> int:
+        return (len(self.dataset) + self.batch_size - 1) // self.batch_size
+
+    @property
+    def num_samples(self) -> int:
+        return len(self.dataset)
+
+    def _get_vfeat_label(self, record: dict, rng: random.Random):
+        sfrac, efrac = record["se_frac"]
+        vid = record["vid"]
+        if self._aug_is_identity and self.sample_type in ("truncation", "samelen"):
+            # deterministic path: resampled features cacheable per vid
+            vfeat = self._resample_cache.get(vid)
+            raw_len = None
+            if vfeat is None:
+                raw = self.features[vid]
+                raw_len = raw.shape[0]
+                vfeat, _ = sample_vfeat_linear(raw, np.zeros(raw.shape[0], np.float32),
+                                               self.vlen, self.sample_type)
+                self._resample_cache[vid] = vfeat
+                self._resample_cache[vid + "/rawlen"] = raw_len
+            raw_len = self._resample_cache[vid + "/rawlen"]
+            label = np.zeros(raw_len, dtype=np.float32)
+            from vmrframe_tpu.metrics import frac_idx
+            sidx0, eidx0 = frac_idx([sfrac, efrac], raw_len)
+            label[sidx0:eidx0 + 1] = 1.0
+            _, label = sample_vfeat_linear(np.zeros((raw_len, 1), np.float32), label,
+                                           self.vlen, self.sample_type)
+            return vfeat, label
+        raw = self.features[vid]
+        vfeat, label = video_augmentation(sfrac, efrac, raw, self.aug, rng)
+        assert not np.all(label == 0), f"empty label after augmentation: {vid}"
+        vfeat, label = sample_vfeat_linear(vfeat, label, self.vlen, self.sample_type)
+        assert not np.all(label == 0), f"empty label after sampling: {vid}"
+        return vfeat, label
+
+    def make_batch(self, indices: List[int], rng: random.Random) -> Dict[str, np.ndarray]:
+        B = self.batch_size
+        n = len(indices)
+        vlen, tlen, clen = self.vlen, self.tlen, self.char_len
+
+        vfeats = np.zeros((B, vlen, self.vdim), dtype=np.float32)
+        vmasks = np.zeros((B, vlen), dtype=np.float32)
+        words_ids = np.zeros((B, tlen), dtype=np.int32)
+        char_ids = np.zeros((B, tlen, clen), dtype=np.int32)
+        label1ds = np.zeros((B, 2, vlen), dtype=np.float32)
+        ner_labels = np.zeros((B, vlen), dtype=np.int32)
+        se_times = np.zeros((B, 2), dtype=np.float32)
+        se_fracs = np.zeros((B, 2), dtype=np.float32)
+        sample_mask = np.zeros((B,), dtype=np.float32)
+
+        for slot, idx in enumerate(indices):
+            record = self.dataset[idx]
+            vfeat, label = self._get_vfeat_label(record, rng)
+            cur_len = vfeat.shape[0]
+            sidx, eidx = label_span_from_curve(label)
+            vfeats[slot, :cur_len] = vfeat
+            vmasks[slot, :cur_len] = 1.0
+            label1ds[slot] = dist_idx_label(sidx, eidx, vlen)
+            ner_labels[slot] = ner_label(sidx, eidx, cur_len, vlen)
+            wids = record["wids"][:tlen]
+            words_ids[slot, : len(wids)] = wids
+            for wi, cids in enumerate(record["cids"][:tlen]):
+                cids = cids[:clen]
+                char_ids[slot, wi, : len(cids)] = cids
+            se_times[slot] = record["se_time"]
+            se_fracs[slot] = record["se_frac"]
+            sample_mask[slot] = 1.0
+
+        tmasks = (words_ids != 0).astype(np.float32)
+        return {
+            "vfeats": vfeats,
+            "vmasks": vmasks,
+            "words_ids": words_ids,
+            "char_ids": char_ids,
+            "tmasks": tmasks,
+            "label1ds": label1ds,
+            "NER_labels": ner_labels,
+            "se_times": se_times,
+            "se_fracs": se_fracs,
+            "sample_mask": sample_mask,
+            "num_valid": np.int32(n),
+        }
+
+    def epoch(self, seed: int, shuffle: Optional[bool] = None) -> Iterator[Dict[str, np.ndarray]]:
+        shuffle = (self.loadertype == "train") if shuffle is None else shuffle
+        rng = random.Random(seed)
+        order = list(range(len(self.dataset)))
+        if shuffle:
+            rng.shuffle(order)
+        for i in range(0, len(order), self.batch_size):
+            yield self.make_batch(order[i : i + self.batch_size], rng)
+
+
+class BatchPrefetcher:
+    """Background-thread prefetch: assemble + (optionally) device_put the next
+    batches while the device runs the current step."""
+
+    def __init__(self, batch_iter: Iterator[Dict[str, Any]], put_fn=None, depth: int = 2):
+        self._queue: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._put_fn = put_fn
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._worker, args=(batch_iter,), daemon=True)
+        self._thread.start()
+
+    def _worker(self, batch_iter):
+        try:
+            for batch in batch_iter:
+                if self._put_fn is not None:
+                    batch = self._put_fn(batch)
+                self._queue.put(batch)
+        except BaseException as e:  # propagate to consumer
+            self._err = e
+        finally:
+            self._queue.put(None)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is None:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item

@@ -1,0 +1,81 @@
+"""Video feature stores.
+
+``VideoFeatureStore`` mirrors the reference's VideoFeatureDict
+(utils/data_utils.py:13-40): glob ``feature_path/*.npy``; eager-load
+everything to RAM, or lazy per-item load in debug mode.  Features stay
+float32 numpy on host — they only cross to HBM as assembled static-shape
+batches.
+
+``SyntheticFeatureStore`` generates deterministic random features per vid so
+tests/benchmarks run with no dataset on disk.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class VideoFeatureStore:
+    def __init__(self, root: str, max_vlen: int, lazy: bool = False):
+        self.lazy = lazy
+        self.max_vlen = max_vlen
+        self.path_dict: Dict[str, str] = {}
+        self.features: Dict[str, np.ndarray] = {}
+        for filename in glob.glob(os.path.join(root, "*.npy")):
+            vid = os.path.basename(filename).split(".")[0]
+            if lazy:
+                self.path_dict[vid] = filename
+            else:
+                self.features[vid] = np.asarray(np.load(filename), dtype=np.float32)
+                self.path_dict[vid] = filename
+
+    def __contains__(self, vid: str) -> bool:
+        return vid in self.path_dict
+
+    def __getitem__(self, vid: str) -> np.ndarray:
+        if self.lazy:
+            return np.asarray(np.load(self.path_dict[vid]), dtype=np.float32)
+        return self.features[vid]
+
+    def lengths(self) -> Dict[str, int]:
+        if self.lazy:
+            out = {}
+            for vid, path in self.path_dict.items():
+                with open(path, "rb") as f:
+                    version = np.lib.format.read_magic(f)
+                    shape, _, _ = np.lib.format._read_array_header(f, version)
+                out[vid] = shape[0]
+            return out
+        return {vid: feat.shape[0] for vid, feat in self.features.items()}
+
+
+class SyntheticFeatureStore:
+    """Deterministic random features keyed by vid (for tests / benches)."""
+
+    def __init__(self, vids, vdim: int, min_len: int = 16, max_len: int = 256, seed: int = 0):
+        self.vdim = vdim
+        self._lens: Dict[str, int] = {}
+        rng = np.random.default_rng(seed)
+        for vid in vids:
+            self._lens[str(vid)] = int(rng.integers(min_len, max_len + 1))
+        self._seed = seed
+
+    def __contains__(self, vid: str) -> bool:
+        return str(vid) in self._lens
+
+    def __getitem__(self, vid: str) -> np.ndarray:
+        vid = str(vid)
+        length = self._lens[vid]
+        # stable across processes (python's hash() is randomized per run)
+        import zlib
+
+        key = zlib.crc32(f"{vid}/{self._seed}".encode())
+        rng = np.random.default_rng(key)
+        return rng.standard_normal((length, self.vdim)).astype(np.float32)
+
+    def lengths(self) -> Dict[str, int]:
+        return dict(self._lens)

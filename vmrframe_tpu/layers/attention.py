@@ -1,0 +1,223 @@
+"""Attention blocks: SeqPAN's dual self/cross attention + QANet CQAttention.
+
+Behavioral port of models/layers.py:184-468 (reference), designed so every
+score computation is one batched MXU matmul with additive -1e30 masking.
+
+Parity notes vs the reference:
+
+- ``BiLinear`` (models/layers.py:246-263) creates a ``dense_2`` submodule but
+  applies ``dense_1`` to BOTH inputs; the inert dense_2 receives no gradient
+  and never changes.  We simply don't create it (the checkpoint converter
+  drops the dead tensors).
+- ``DualMultiAttention`` (models/layers.py:300-381) also creates layer_norm1/
+  layer_norm2/out_layer that its forward never uses — same treatment.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vmrframe_tpu.layers.basic import Conv1D, LayerNorm
+from vmrframe_tpu.ops.masking import attention_mask_2d, mask_logits
+
+
+def _split_heads(x, num_heads):
+    B, L, D = x.shape
+    return x.reshape(B, L, num_heads, D // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    B, H, L, Hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, L, H * Hd)
+
+
+class MultiHeadAttentionBlock(nn.Module):
+    """Pre-LN MHA + FFN-ish tail (models/layers.py:184-231)."""
+
+    dim: int
+    num_heads: int
+    droprate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        drop = lambda t: nn.Dropout(self.droprate)(t, deterministic=deterministic)
+        head_size = self.dim // self.num_heads
+        output = LayerNorm(name="layer_norm1")(x)
+        output = drop(output)
+        query = _split_heads(Conv1D(self.dim, name="query")(output), self.num_heads)
+        key = _split_heads(Conv1D(self.dim, name="key")(output), self.num_heads)
+        value = _split_heads(Conv1D(self.dim, name="value")(output), self.num_heads)
+        scores = jnp.einsum("bhld,bhmd->bhlm", query, key) / math.sqrt(head_size)
+        if mask is not None:
+            scores = mask_logits(scores, mask[:, None, None, :])
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = drop(probs)
+        value = _merge_heads(jnp.einsum("bhlm,bhmd->bhld", probs, value))
+        output = drop(value)
+        residual = output + x
+        output = LayerNorm(name="layer_norm2")(residual)
+        output = drop(output)
+        output = Conv1D(self.dim, name="out_layer")(output)
+        return drop(output) + residual
+
+
+class BiLinear(nn.Module):
+    """sum of one shared Dense applied to both inputs + extra bias — the
+    reference's (quirky) BiLinear (models/layers.py:246-263)."""
+
+    dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, input1, input2):
+        dense_1 = Conv1D(self.dim, name="dense_1")
+        output = dense_1(input1) + dense_1(input2)
+        if self.use_bias:
+            bias = self.param("bias_value", nn.initializers.zeros, (self.dim,))
+            output = output + bias
+        return output
+
+
+class DualMultiAttention(nn.Module):
+    """SeqPAN's core op (models/layers.py:300-381): one shared query attends
+    over itself (f_key/f_value) and over the other modality (t_key/t_value);
+    the two attention outputs cross-gate each other, then two BiLinears gate
+    the fused output against the block input.
+
+    The two softmax attentions share the same Q — a natural fusion target
+    (see vmrframe_tpu/kernels/dual_attention.py for the Pallas version).
+    """
+
+    dim: int
+    num_heads: int
+    droprate: float = 0.0
+
+    @nn.compact
+    def __call__(self, from_tensor, to_tensor, from_mask, to_mask, deterministic: bool = True):
+        B, L, D = from_tensor.shape
+        head_size = self.dim // self.num_heads
+        drop = lambda t: nn.Dropout(self.droprate)(t, deterministic=deterministic)
+
+        query = _split_heads(Conv1D(self.dim, name="query")(from_tensor), self.num_heads)
+        f_key = _split_heads(Conv1D(self.dim, name="f_key")(from_tensor), self.num_heads)
+        f_value = _split_heads(Conv1D(self.dim, name="f_value")(from_tensor), self.num_heads)
+        t_key = _split_heads(Conv1D(self.dim, name="t_key")(to_tensor), self.num_heads)
+        t_value = _split_heads(Conv1D(self.dim, name="t_value")(to_tensor), self.num_heads)
+
+        s_attn_mask = attention_mask_2d(from_mask, from_mask)[:, None]
+        x_attn_mask = attention_mask_2d(from_mask, to_mask)[:, None]
+
+        s_scores = jnp.einsum("bhld,bhmd->bhlm", query, f_key) / math.sqrt(head_size)
+        s_scores = s_scores + (1.0 - s_attn_mask) * -1e30
+        s_probs = drop(jax.nn.softmax(s_scores, axis=-1))
+
+        x_scores = jnp.einsum("bhld,bhmd->bhlm", query, t_key) / math.sqrt(head_size)
+        x_scores = x_scores + (1.0 - x_attn_mask) * -1e30
+        x_probs = drop(jax.nn.softmax(x_scores, axis=-1))
+
+        s_value = _merge_heads(jnp.einsum("bhlm,bhmd->bhld", s_probs, f_value))
+        s_value = Conv1D(self.dim, name="s_dense")(s_value)
+        x_value = _merge_heads(jnp.einsum("bhlm,bhmd->bhld", x_probs, t_value))
+        x_value = Conv1D(self.dim, name="x_dense")(x_value)
+
+        s_score = Conv1D(self.dim, name="s_gate")(s_value)
+        x_score = Conv1D(self.dim, name="x_gate")(x_value)
+
+        outputs = s_score * x_value + x_score * s_value
+        outputs = Conv1D(self.dim, name="guided_dense")(outputs)
+
+        scores = BiLinear(self.dim, name="bilinear_1")(from_tensor, outputs)
+        values = BiLinear(self.dim, name="bilinear_2")(from_tensor, outputs)
+        return jax.nn.sigmoid(mask_logits(scores, from_mask[:, :, None])) * values
+
+
+class DualAttentionBlock(nn.Module):
+    """LN -> DualMultiAttention -> dense+residual -> FFN+residual
+    (models/layers.py:266-297)."""
+
+    dim: int
+    num_heads: int
+    droprate: float = 0.0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, from_tensor, to_tensor, from_mask, to_mask, deterministic: bool = True):
+        drop = lambda t: nn.Dropout(self.droprate)(t, deterministic=deterministic)
+        outputs = LayerNorm(name="layer_norm_1")(from_tensor)
+        to_norm = LayerNorm(name="layer_norm_t")(to_tensor)
+        outputs = drop(outputs)
+        outputs = DualMultiAttention(self.dim, self.num_heads, self.droprate, name="dual_multihead_attention")(
+            outputs, to_norm, from_mask, to_mask, deterministic
+        )
+        outputs = Conv1D(self.dim, use_bias=self.use_bias, name="dense_1")(outputs)
+        residual = drop(outputs) + from_tensor
+        outputs = LayerNorm(name="layer_norm_2")(residual)
+        outputs = drop(outputs)
+        outputs = Conv1D(self.dim, use_bias=self.use_bias, name="dense_2")(outputs)
+        return drop(outputs) + residual
+
+
+class CQAttention(nn.Module):
+    """QANet context-query attention (models/layers.py:402-437): trilinear
+    scores via three rank-1/elementwise terms, row+col masked softmaxes,
+    ``[c, c2q, c*c2q, c*q2c]`` -> Conv1D."""
+
+    dim: int
+    droprate: float = 0.0
+
+    @nn.compact
+    def __call__(self, context, query, c_mask, q_mask, deterministic: bool = True):
+        w4C = self.param("w4C", nn.initializers.xavier_uniform(), (self.dim, 1))
+        w4Q = self.param("w4Q", nn.initializers.xavier_uniform(), (self.dim, 1))
+        w4mlu = self.param("w4mlu", nn.initializers.xavier_uniform(), (1, 1, self.dim))
+        drop = lambda t: nn.Dropout(self.droprate)(t, deterministic=deterministic)
+
+        ctx = drop(context)
+        qry = drop(query)
+        # trilinear attention: score[b,i,j] = w4C·c_i + w4Q·q_j + w4mlu·(c_i ⊙ q_j)
+        subres0 = jnp.matmul(ctx, w4C)  # (B, Lc, 1)
+        subres1 = jnp.matmul(qry, w4Q).transpose(0, 2, 1)  # (B, 1, Lq)
+        subres2 = jnp.einsum("bld,bmd->blm", ctx * w4mlu, qry)
+        score = subres0 + subres1 + subres2  # (B, Lc, Lq)
+
+        score_ = jax.nn.softmax(mask_logits(score, q_mask[:, None, :]), axis=2)
+        score_t = jax.nn.softmax(mask_logits(score, c_mask[:, :, None]), axis=1)
+        score_t = score_t.transpose(0, 2, 1)  # (B, Lq, Lc)
+        c2q = jnp.matmul(score_, query)  # (B, Lc, D)
+        q2c = jnp.matmul(jnp.matmul(score_, score_t), context)  # (B, Lc, D)
+        output = jnp.concatenate([context, c2q, context * c2q, context * q2c], axis=2)
+        return Conv1D(self.dim, name="cqa_linear")(output)
+
+
+class WeightedPool(nn.Module):
+    """Learned attention pooling to a vector (models/layers.py:440-453)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x, mask):
+        weight = self.param("weight", nn.initializers.xavier_uniform(), (self.dim, 1))
+        alpha = jnp.tensordot(x, weight, axes=1)  # (B, L, 1)
+        alpha = mask_logits(alpha, mask[:, :, None])
+        alphas = jax.nn.softmax(alpha, axis=1)
+        pooled = jnp.einsum("bld,blo->bdo", x, alphas)  # (B, D, 1)
+        return pooled.squeeze(2)
+
+
+class CQConcatenate(nn.Module):
+    """Pooled query broadcast-concat + Conv1D (models/layers.py:456-468)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, context, query, q_mask):
+        pooled_query = WeightedPool(self.dim, name="weighted_pool")(query, q_mask)
+        L = context.shape[1]
+        pooled = jnp.broadcast_to(pooled_query[:, None, :], (context.shape[0], L, self.dim))
+        output = jnp.concatenate([context, pooled], axis=2)
+        return Conv1D(self.dim, name="conv1d")(output)

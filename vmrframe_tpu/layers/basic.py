@@ -1,0 +1,261 @@
+"""Basic layer library (flax.linen).
+
+TPU-native re-implementation of the QANet/VSLNet-style building blocks the
+reference keeps in models/layers.py.  Design notes:
+
+- the reference's ``Conv1D`` (models/layers.py:15-26) is a pointwise conv
+  used as a Linear over (B, L, D) — here it IS a Dense (one MXU matmul);
+- parameters initialize like their torch counterparts (Lecun/Kaiming-uniform
+  conv defaults → we use the torch fan-in uniform so converted checkpoints
+  and from-scratch runs share scale);
+- frozen GloVe vectors live in the ``constants`` variable collection, not
+  ``params`` — the optimizer never sees them (reference freezes them via
+  requires_grad=False, models/layers.py:28-48);
+- every dropout site takes the shared 'dropout' PRNG stream and a
+  ``deterministic`` flag (train vs the reference's model.eval()).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def torch_linear_init(key, shape, dtype=jnp.float32):
+    """torch nn.Linear/Conv1d default: U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+
+    For a Dense kernel of shape (in, out), fan_in = in.
+    """
+    fan_in = shape[0]
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def torch_bias_init_for(fan_in: int) -> Callable:
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
+class Conv1D(nn.Module):
+    """Pointwise projection over (B, L, D) — the reference's Conv1D with
+    kernel_size=1 (models/layers.py:15-26) expressed as a single Dense."""
+
+    out_dim: int
+    use_bias: bool = True
+    activation: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        kernel = self.param("kernel", torch_linear_init, (in_dim, self.out_dim))
+        y = jnp.einsum("bld,do->blo", x, kernel)
+        if self.use_bias:
+            bias = self.param("bias", torch_bias_init_for(in_dim), (self.out_dim,))
+            y = y + bias
+        if self.activation is not None:
+            y = self.activation(y)
+        return y
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with torch semantics (eps inside sqrt), eps=1e-6 to match
+    the reference's nn.LayerNorm(dim, eps=1e-6)."""
+
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,))
+        bias = self.param("bias", nn.initializers.zeros, (dim,))
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+class WordEmbedding(nn.Module):
+    """Frozen GloVe + trainable UNK + zero PAD (models/layers.py:28-48).
+
+    ``word_vectors`` (N, word_dim) goes into the ``constants`` collection;
+    only the UNK row is a parameter.
+    """
+
+    word_dim: int
+    word_vectors: Any  # numpy (N, word_dim)
+    droprate: float = 0.0
+
+    @nn.compact
+    def __call__(self, word_ids, deterministic: bool = True):
+        unk = self.param(
+            "unk_vec", nn.initializers.xavier_uniform(), (1, self.word_dim)
+        )
+        glove = self.variable(
+            "constants", "glove_vec",
+            lambda: jnp.asarray(np.asarray(self.word_vectors, dtype=np.float32)),
+        ).value
+        pad = jnp.zeros((1, self.word_dim), dtype=jnp.float32)
+        table = jnp.concatenate([pad, unk, glove], axis=0)
+        emb = jnp.take(table, word_ids, axis=0)
+        return nn.Dropout(self.droprate)(emb, deterministic=deterministic)
+
+
+class CharacterEmbedding(nn.Module):
+    """Char embedding + 4 parallel width-{1,2,3,4} convs + max-over-chars
+    (models/layers.py:51-75).  Output dim = 10+20+30+40 = 100.
+
+    The (1, k) Conv2d stack in the reference is a 1D conv over the char axis
+    per word; we run it as one batched conv over (B*W, C, char_dim).
+    """
+
+    num_chars: int
+    char_dim: int
+    droprate: float = 0.0
+    kernels: Sequence[int] = (1, 2, 3, 4)
+    channels: Sequence[int] = (10, 20, 30, 40)
+
+    @nn.compact
+    def __call__(self, char_ids, deterministic: bool = True):
+        B, W, C = char_ids.shape
+        table = self.param(
+            "char_table",
+            nn.initializers.normal(stddev=1.0),  # torch nn.Embedding default N(0,1)
+            (self.num_chars, self.char_dim),
+        )
+        emb = jnp.take(table, char_ids, axis=0)  # (B, W, C, char_dim)
+        # padding_idx=0 semantics: zero out PAD rows (grad-free by masking)
+        emb = emb * (char_ids != 0).astype(emb.dtype)[..., None]
+        emb = nn.Dropout(self.droprate)(emb, deterministic=deterministic)
+        emb = emb.reshape(B * W, C, self.char_dim)
+        outs = []
+        for k, ch in zip(self.kernels, self.channels):
+            y = nn.Conv(
+                features=ch,
+                kernel_size=(k,),
+                padding="VALID",
+                use_bias=True,
+                kernel_init=torch_linear_init_conv(self.char_dim * k),
+                bias_init=torch_bias_init_for(self.char_dim * k),
+                name=f"conv_k{k}",
+            )(emb)  # (B*W, C-k+1, ch)
+            y = jax.nn.relu(y)
+            outs.append(jnp.max(y, axis=1))  # (B*W, ch)
+        out = jnp.concatenate(outs, axis=-1)  # (B*W, 100)
+        return out.reshape(B, W, sum(self.channels))
+
+
+def torch_linear_init_conv(fan_in: int) -> Callable:
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
+class Embedding(nn.Module):
+    """word ‖ char -> Conv1D -> LayerNorm (models/layers.py:78-93)."""
+
+    out_dim: int
+    word_dim: int
+    char_dim: int
+    num_chars: int
+    word_vectors: Any
+    droprate: float = 0.0
+
+    @nn.compact
+    def __call__(self, word_ids, char_ids, deterministic: bool = True):
+        word_emb = WordEmbedding(self.word_dim, self.word_vectors, self.droprate, name="word_emb")(
+            word_ids, deterministic
+        )
+        char_emb = CharacterEmbedding(self.num_chars, self.char_dim, self.droprate, name="char_emb")(
+            char_ids, deterministic
+        )
+        emb = jnp.concatenate([word_emb, char_emb], axis=2)
+        emb = Conv1D(self.out_dim, name="query_conv1d")(emb)
+        return LayerNorm(name="q_layer_norm")(emb)
+
+
+class PositionalEmbedding(nn.Module):
+    """Learned absolute positions (models/layers.py:96-107)."""
+
+    num_embeddings: int
+
+    @nn.compact
+    def __call__(self, x):
+        L, D = x.shape[1], x.shape[2]
+        table = self.param(
+            "position_embeddings", nn.initializers.normal(stddev=1.0), (self.num_embeddings, D)
+        )
+        return jnp.broadcast_to(table[None, :L, :], (x.shape[0], L, D))
+
+
+class VisualProjection(nn.Module):
+    """dropout -> Conv1D -> LayerNorm (models/layers.py:110-123)."""
+
+    dim: int
+    droprate: float = 0.0
+
+    @nn.compact
+    def __call__(self, visual_features, deterministic: bool = True):
+        x = nn.Dropout(self.droprate)(visual_features, deterministic=deterministic)
+        x = Conv1D(self.dim, name="video_conv1d")(x)
+        return LayerNorm(name="v_layer_norm")(x)
+
+
+class DepthwiseSeparableConvBlock(nn.Module):
+    """N × (LN -> depthwise k=7 -> pointwise -> ReLU -> dropout -> residual)
+    (models/layers.py:126-148)."""
+
+    dim: int
+    kernel_size: int = 7
+    num_layers: int = 4
+    droprate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        output = x
+        for idx in range(self.num_layers):
+            residual = output
+            output = LayerNorm(name=f"layer_norm_{idx}")(output)
+            # depthwise conv: groups == dim, no bias (torch fan_in = k * 1)
+            output = nn.Conv(
+                features=self.dim,
+                kernel_size=(self.kernel_size,),
+                feature_group_count=self.dim,
+                padding="SAME",
+                use_bias=False,
+                kernel_init=torch_linear_init_conv(self.kernel_size),
+                name=f"depthwise_{idx}",
+            )(output)
+            output = Conv1D(self.dim, name=f"pointwise_{idx}")(output)
+            output = jax.nn.relu(output)
+            output = nn.Dropout(self.droprate)(output, deterministic=deterministic)
+            output = output + residual
+        return output
+
+
+class FeatureEncoder(nn.Module):
+    """pos-emb + conv block (models/layers.py:388-399)."""
+
+    dim: int
+    max_pos_len: int
+    kernel_size: int = 7
+    num_layers: int = 4
+    droprate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        features = x + PositionalEmbedding(self.max_pos_len, name="pos_embedding")(x)
+        return DepthwiseSeparableConvBlock(
+            self.dim, self.kernel_size, self.num_layers, self.droprate, name="conv_block"
+        )(features, deterministic)

@@ -1,0 +1,60 @@
+"""Optimizer: AdamW + linear-warmup-linear-decay + global-norm clipping.
+
+Reproduces the reference's build_optimizer_and_scheduler
+(utils/utils.py:87-97): torch AdamW (betas 0.9/0.999, eps 1e-8) with
+weight_decay 0.01 masked off for parameters whose name contains 'bias' or
+'layer_norm', and HuggingFace get_linear_schedule_with_warmup.  Gradient
+clipping happens before the update like main.py:95.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import optax
+
+
+def linear_warmup_decay(base_lr: float, num_train_steps: int, warmup_proportion: float):
+    """HF get_linear_schedule_with_warmup semantics."""
+    warmup_steps = int(num_train_steps * warmup_proportion)
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        step = jnp.asarray(step, dtype=jnp.float32)
+        warm = step / jnp.maximum(1.0, float(warmup_steps))
+        decay = jnp.maximum(
+            0.0,
+            (num_train_steps - step) / float(max(1, num_train_steps - warmup_steps)),
+        )
+        return base_lr * jnp.where(step < warmup_steps, warm, decay)
+
+    return schedule
+
+
+def _decay_mask(params) -> Any:
+    """True (apply weight decay) unless the param path contains 'bias' or
+    'layer_norm' (the reference's no_decay list, utils/utils.py:89)."""
+
+    def mask_from_path(path, _):
+        names = [str(getattr(k, "key", k)).lower() for k in path]
+        joined = "/".join(names)
+        return not ("bias" in joined or "layer_norm" in joined)
+
+    return jax.tree_util.tree_map_with_path(mask_from_path, params)
+
+
+def build_optimizer(cfg, num_train_steps: int) -> optax.GradientTransformation:
+    schedule = linear_warmup_decay(cfg.train.lr, num_train_steps, cfg.train.warmup_proportion)
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.train.clip_norm),
+        optax.adamw(
+            learning_rate=schedule,
+            b1=0.9,
+            b2=0.999,
+            eps=1e-8,
+            weight_decay=0.01,
+            mask=_decay_mask,
+        ),
+    )
