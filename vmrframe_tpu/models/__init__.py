@@ -1,3 +1,5 @@
 """Model zoo — importing this package registers every model."""
 
 import vmrframe_tpu.models.seqpan  # noqa: F401
+import vmrframe_tpu.models.basefast  # noqa: F401
+import vmrframe_tpu.models.backbone  # noqa: F401

@@ -29,17 +29,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vmrframe_tpu.layers import (
-    CQAttention,
-    CQConcatenate,
-    DualAttentionBlock,
-    Embedding,
-    FeatureEncoder,
-    SeqPANPredictor,
-    VisualProjection,
-)
+from vmrframe_tpu.layers import SeqPANPredictor
 from vmrframe_tpu.layers.basic import Conv1D
 from vmrframe_tpu.losses import lossfun_loc, lossfun_match
+from vmrframe_tpu.models.common import encode_and_fuse
 from vmrframe_tpu.ops.span import infer_span_1d
 from vmrframe_tpu.registry import register_model
 
@@ -51,6 +44,22 @@ def gumbel_softmax(rng, logits: jnp.ndarray, tau: float = 1.0) -> jnp.ndarray:
     return jax.nn.softmax((logits + gumbels) / tau, axis=-1)
 
 
+def match_head(module: nn.Module, fuse_feat, vmask, dim: int, deterministic: bool, tau: float = 0.3):
+    """Conv1D(dim->4) -> gumbel-softmax -> soft label-embedding injection
+    (SeqPAN.py:78-82).  Returns (fuse_feat', match_score, match_probs,
+    label_embs)."""
+    match_logits = Conv1D(4, name="match_conv1d")(fuse_feat)
+    if deterministic:
+        match_score = jax.nn.softmax(match_logits / tau, axis=-1)
+    else:
+        match_score = gumbel_softmax(module.make_rng("gumbel"), match_logits, tau=tau)
+    match_probs = jnp.log(jnp.maximum(match_score, 1e-30))
+    label_embs = module.param("label_embs", nn.initializers.orthogonal(), (dim, 4))
+    soft_label_embs = jnp.matmul(match_score, jnp.transpose(label_embs))  # (B, L, dim)
+    fuse_feat = (fuse_feat + soft_label_embs) * vmask[:, :, None]
+    return fuse_feat, match_score, match_probs, label_embs
+
+
 class SeqPAN(nn.Module):
     cfg: Any  # Config
     derived: Any  # Derived
@@ -59,52 +68,15 @@ class SeqPAN(nn.Module):
     @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray], deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         m = self.cfg.model
-        dim, droprate = m.dim, m.droprate
-        vmask, tmask = batch["vmasks"], batch["tmasks"]
-        B = vmask.shape[0]
-
-        tfeat = Embedding(
-            out_dim=dim,
-            word_dim=m.word_dim,
-            char_dim=m.char_dim,
-            num_chars=self.derived.num_chars,
-            word_vectors=self.word_vectors,
-            droprate=droprate,
-            name="text_encoder",
-        )(batch["words_ids"], batch["char_ids"], deterministic)
-        vfeat = VisualProjection(dim, droprate, name="video_affine")(batch["vfeats"], deterministic)
-
-        # one SHARED encoder applied to both modalities (SeqPAN.py:59-60)
-        encoder = FeatureEncoder(dim, max_pos_len=m.vlen, kernel_size=7, num_layers=4,
-                                 droprate=droprate, name="vfeat_encoder")
-        vfeat = encoder(vfeat, deterministic)
-        tfeat = encoder(tfeat, deterministic)
-
-        dab1 = DualAttentionBlock(dim, m.num_heads, droprate, name="dual_attention_block_1")
-        dab2 = DualAttentionBlock(dim, m.num_heads, droprate, name="dual_attention_block_2")
-        vfeat_ = dab1(vfeat, tfeat, vmask, tmask, deterministic)
-        tfeat_ = dab1(tfeat, vfeat, tmask, vmask, deterministic)
-        vfeat, tfeat = vfeat_, tfeat_
-        vfeat_ = dab2(vfeat, tfeat, vmask, tmask, deterministic)
-        tfeat_ = dab2(tfeat, vfeat, tmask, vmask, deterministic)
-        vfeat, tfeat = vfeat_, tfeat_
-
-        t2v_feat = CQAttention(dim, droprate, name="q2v_attn")(vfeat, tfeat, vmask, tmask, deterministic)
-        v2t_feat = CQAttention(dim, droprate, name="v2q_attn")(tfeat, vfeat, tmask, vmask, deterministic)
-        fuse_feat = CQConcatenate(dim, name="cq_cat")(t2v_feat, v2t_feat, tmask)
-
-        match_logits = Conv1D(4, name="match_conv1d")(fuse_feat)
-        if deterministic:
-            match_score = jax.nn.softmax(match_logits / 0.3, axis=-1)
-        else:
-            match_score = gumbel_softmax(self.make_rng("gumbel"), match_logits, tau=0.3)
-        match_probs = jnp.log(jnp.maximum(match_score, 1e-30))
-
-        label_embs = self.param("label_embs", nn.initializers.orthogonal(), (m.dim, 4))
-        soft_label_embs = jnp.matmul(match_score, jnp.transpose(label_embs))  # (B, L, dim)
-        fuse_feat = (fuse_feat + soft_label_embs) * vmask[:, :, None]
-
-        slogits, elogits = SeqPANPredictor(dim, m.vlen, num_heads=4, droprate=droprate,
+        vmask = batch["vmasks"]
+        _, _, fuse_feat = encode_and_fuse(
+            self.cfg, self.derived, self.word_vectors, batch, deterministic,
+            shared_encoder=True, encoder_layers=4, use_dual_attention=True,
+        )
+        fuse_feat, match_score, match_probs, label_embs = match_head(
+            self, fuse_feat, vmask, m.dim, deterministic
+        )
+        slogits, elogits = SeqPANPredictor(m.dim, m.vlen, num_heads=4, droprate=m.droprate,
                                            name="predictor")(fuse_feat, vmask, deterministic)
         return {
             "slogits": slogits,
