@@ -10,7 +10,7 @@ from vmrframe_tpu.registry import MODEL_REGISTRY, get_model_entry
 from vmrframe_tpu.testing import make_synthetic_data
 from vmrframe_tpu.train.trainer import Trainer
 
-ZOO_1D = ["SeqPAN", "BaseFast", "BackBone"]
+ZOO_1D = ["SeqPAN", "BaseFast", "BackBone", "BackBoneActionFormer"]
 
 
 @pytest.fixture(scope="module")

@@ -76,8 +76,10 @@ def main(argv=None):
     derived.num_words = dataset["n_words"]
     derived.num_chars = dataset["n_chars"]
 
-    train_batcher = Batcher(dataset["train_set"], features, cfg, derived, "train")
-    test_batcher = Batcher(dataset["test_set"], features, cfg, derived, "test")
+    entry = get_model_entry(cfg.model.name)
+    batcher_cls = entry.batcher_cls or Batcher
+    train_batcher = batcher_cls(dataset["train_set"], features, cfg, derived, "train")
+    test_batcher = batcher_cls(dataset["test_set"], features, cfg, derived, "test")
     derived.steps_per_epoch = len(train_batcher)
     derived.num_train_steps = len(train_batcher) * cfg.train.epochs
 

@@ -3,3 +3,5 @@
 import vmrframe_tpu.models.seqpan  # noqa: F401
 import vmrframe_tpu.models.basefast  # noqa: F401
 import vmrframe_tpu.models.backbone  # noqa: F401
+import vmrframe_tpu.models.actionformer  # noqa: F401
+import vmrframe_tpu.models.backbone_actionformer  # noqa: F401

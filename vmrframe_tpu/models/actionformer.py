@@ -1,0 +1,244 @@
+"""ActionFormer — single-stage anchor-free localizer wrapped for VMR
+(reference models/ActionFormer.py + models/ActionFormerlib/meta_archs.py).
+
+TPU-native redesign notes:
+
+- label assignment (meta_archs.py:446-530) is vectorized over the whole
+  batch on device (VMR has exactly one gt segment per sample, 1 class);
+- inference is BATCHED and fully on device — the reference asserts
+  batch_size==1 at eval and runs NMS on CPU per video
+  (meta_archs.py:404,708-750); we run fixed-shape soft-NMS over all
+  pyramid points for the whole batch (ops/nms.py);
+- the EMA loss normalizer (meta_archs.py:324-326,585-588) is carried in
+  TrainState.extras through the jitted step (registry ``stateful``);
+- the reference's train engine backprops ONLY reg_loss
+  (models/ActionFormer.py:154-161) and the model is commented out of
+  __all__ (models/__init__.py) — its engine path is broken (indexes a list
+  as a dict).  We train the full upstream objective
+  final = cls_focal + weight·reg_diou, and integrate with the standard
+  fraction-based metric engine, making this a first-class model here.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from vmrframe_tpu.layers.actionformer import (
+    ConvHead,
+    ConvTransformerBackbone,
+    FPNIdentity,
+    Scale,
+    generate_points,
+)
+from vmrframe_tpu.ops.nms import batched_nms_1d
+from vmrframe_tpu.registry import register_model
+
+
+def _af_cfg(cfg):
+    return cfg.actionformer
+
+
+class ActionFormer(nn.Module):
+    cfg: Any
+    derived: Any
+    word_vectors: Any  # unused (no text branch), kept for a uniform factory
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], deterministic: bool = True):
+        af = _af_cfg(self.cfg)
+        arch = tuple(af.backbone_arch)
+        num_levels = arch[2] + 1
+        win = af.n_mha_win_size
+        win_list = [win] * num_levels if isinstance(win, int) else list(win)
+        train_cfg = af.train_cfg
+
+        feats, masks = batch["feats"], batch["masks"]
+        fpn_feats, fpn_masks = ConvTransformerBackbone(
+            n_in=af.input_dim,
+            n_embd=af.embd_dim,
+            n_head=af.n_head,
+            n_embd_ks=af.embd_kernel_size,
+            max_len=af.max_seq_len,
+            arch=arch,
+            mha_win_size=win_list,
+            scale_factor=af.scale_factor,
+            with_ln=af.embd_with_ln,
+            attn_pdrop=0.0,
+            proj_pdrop=train_cfg.dropout,
+            path_pdrop=train_cfg.droppath,
+            use_abs_pe=af.use_abs_pe,
+            name="backbone",
+        )(feats, masks, deterministic)
+        fpn_feats, fpn_masks = FPNIdentity(num_levels, with_ln=af.fpn_with_ln, name="neck")(
+            fpn_feats, fpn_masks
+        )
+
+        prior_bias = -math.log((1 - train_cfg.cls_prior_prob) / train_cfg.cls_prior_prob)
+        cls_logits = ConvHead(
+            af.head_dim, af.num_classes, num_layers=af.head_num_layers,
+            kernel_size=af.head_kernel_size, with_ln=af.head_with_ln,
+            final_bias_init=prior_bias, name="cls_head",
+        )(fpn_feats, fpn_masks, deterministic)
+        reg_raw = ConvHead(
+            af.head_dim, 2, num_layers=af.head_num_layers,
+            kernel_size=af.head_kernel_size, with_ln=af.head_with_ln, name="reg_head",
+        )(fpn_feats, fpn_masks, deterministic)
+        offsets = [
+            jax.nn.relu(Scale(name=f"scale_{l}")(o)) for l, o in enumerate(reg_raw)
+        ]
+
+        return {
+            "cls_logits": jnp.concatenate(cls_logits, axis=1),  # (B, P, C)
+            "offsets": jnp.concatenate(offsets, axis=1),  # (B, P, 2)
+            "fpn_mask": jnp.concatenate(fpn_masks, axis=1),  # (B, P)
+        }
+
+
+def _points(cfg) -> np.ndarray:
+    """(P, 4) concat of per-level (t, reg_min, reg_max, stride) buffers."""
+    af = _af_cfg(cfg)
+    strides = [af.scale_factor**i for i in range(af.fpn_start_level, af.backbone_arch[2] + 1)]
+    pts = generate_points(af.max_seq_len, strides, af.regression_range)
+    pts = [p[: af.max_seq_len // s] for p, s in zip(pts, strides)]
+    return np.concatenate(pts, axis=0)
+
+
+def label_points(points: jnp.ndarray, gt_segments: jnp.ndarray, cfg):
+    """Vectorized single-gt label assignment (meta_archs.py:446-530).
+
+    points: (P, 4); gt_segments: (B, 2) in grid coords.
+    Returns cls_targets (B, P), reg_targets (B, P, 2) stride-normalized.
+    """
+    af = _af_cfg(cfg)
+    t = points[None, :, 0]  # (1, P)
+    stride = points[None, :, 3]
+    gt_s = gt_segments[:, 0:1]  # (B, 1)
+    gt_e = gt_segments[:, 1:2]
+    left = t - gt_s  # (B, P)
+    right = gt_e - t
+    if af.train_cfg.center_sample == "radius":
+        center = 0.5 * (gt_s + gt_e)
+        radius = af.train_cfg.center_sample_radius
+        t_min = jnp.maximum(center - stride * radius, gt_s)
+        t_max = jnp.minimum(center + stride * radius, gt_e)
+        inside = jnp.minimum(t - t_min, t_max - t) > 0
+    else:
+        inside = jnp.minimum(left, right) > 0
+    max_reg = jnp.maximum(left, right)
+    in_range = (max_reg >= points[None, :, 1]) & (max_reg <= points[None, :, 2])
+    cls_targets = (inside & in_range).astype(jnp.float32)  # (B, P)
+    reg_targets = jnp.stack([left, right], axis=-1) / stride[..., None]
+    return cls_targets, reg_targets
+
+
+def sigmoid_focal_loss(logits, targets, alpha: float = 0.25, gamma: float = 2.0):
+    """Elementwise focal loss (reference ActionFormerlib/losses.py:4-52)."""
+    p = jax.nn.sigmoid(logits)
+    ce = targets * jax.nn.softplus(-logits) + (1 - targets) * jax.nn.softplus(logits)
+    p_t = p * targets + (1 - p) * (1 - targets)
+    loss = ce * (1 - p_t) ** gamma
+    if alpha >= 0:
+        loss = (alpha * targets + (1 - alpha) * (1 - targets)) * loss
+    return loss
+
+
+def ctr_diou_loss_1d(pred, target, eps: float = 1e-8):
+    """Elementwise 1D DIoU (reference losses.py:108-168): same-center offset
+    parameterization."""
+    lp, rp = pred[..., 0], pred[..., 1]
+    lg, rg = target[..., 0], target[..., 1]
+    intsctk = jnp.minimum(lp, lg) + jnp.minimum(rp, rg)
+    unionk = (lp + rp) + (lg + rg) - intsctk
+    iouk = intsctk / jnp.maximum(unionk, eps)
+    len_c = jnp.maximum(lp, lg) + jnp.maximum(rp, rg)
+    rho = 0.5 * (rp - lp - rg + lg)
+    return 1.0 - iouk + jnp.square(rho / jnp.maximum(len_c, eps))
+
+
+def actionformer_init_extras(cfg):
+    return {"loss_normalizer": jnp.asarray(float(_af_cfg(cfg).train_cfg.init_loss_norm))}
+
+
+def actionformer_loss(outputs, batch, cfg, extras):
+    af = _af_cfg(cfg)
+    tc = af.train_cfg
+    points = jnp.asarray(_points(cfg))
+    cls_t, reg_t = label_points(points, batch["gt_segments"], cfg)
+
+    valid = outputs["fpn_mask"] * batch["sample_mask"][:, None]  # (B, P)
+    pos = cls_t * valid
+
+    num_pos = jnp.sum(pos)
+    momentum = 0.9
+    loss_normalizer = momentum * extras["loss_normalizer"] + (1 - momentum) * jnp.maximum(num_pos, 1.0)
+
+    # focal cls loss with label smoothing (meta_archs.py:558-570)
+    ls = tc.label_smoothing
+    gt_target = cls_t * (1 - ls) + ls / (af.num_classes + 1)
+    cls_loss = sigmoid_focal_loss(outputs["cls_logits"][..., 0], gt_target)
+    cls_loss = jnp.sum(cls_loss * valid) / loss_normalizer
+
+    # DIoU reg loss on positives (meta_archs.py:572-580)
+    reg_t_pos = jnp.maximum(reg_t, 0.0)  # only read under pos mask; keep diou's domain valid
+    reg_loss = ctr_diou_loss_1d(outputs["offsets"], reg_t_pos)
+    reg_loss = jnp.sum(reg_loss * pos) / loss_normalizer
+    reg_loss = jnp.where(num_pos == 0, 0.0, reg_loss)
+
+    weight = tc.loss_weight if tc.loss_weight > 0 else 1.0
+    final = cls_loss + reg_loss * weight
+    return final, {"loss_normalizer": loss_normalizer}
+
+
+def actionformer_infer(outputs, batch, cfg):
+    """Batched decode + soft-NMS -> top-1 span as duration FRACTIONS so the
+    shared metric engine applies (reference inference_single_video +
+    postprocessing, meta_archs.py:641-750, restricted to top-1)."""
+    af = _af_cfg(cfg)
+    test = af.test_cfg
+    points = jnp.asarray(_points(cfg))
+    probs = jax.nn.sigmoid(outputs["cls_logits"][..., 0]) * outputs["fpn_mask"]  # (B, P)
+    t, stride = points[None, :, 0], points[None, :, 3]
+    seg_left = t - outputs["offsets"][..., 0] * stride
+    seg_right = t + outputs["offsets"][..., 1] * stride
+    segs = jnp.stack([seg_left, seg_right], axis=-1)  # (B, P, 2)
+
+    # pre-NMS filtering (threshold + duration) via score zeroing (fixed shape)
+    keep = (probs > test.pre_nms_thresh) & ((seg_right - seg_left) > test.duration_thresh)
+    scores = jnp.where(keep, probs, 0.0)
+
+    method = test.nms_method
+    if method == "none":
+        idx = jnp.argmax(scores, axis=1)
+        best = jnp.take_along_axis(segs, idx[:, None, None], axis=1)[:, 0]
+    else:
+        kept_segs, kept_scores, valids = batched_nms_1d(
+            segs, scores, test.iou_threshold, int(test.max_seg_num),
+            test.min_score, method == "soft", test.nms_sigma,
+        )
+        best = kept_segs[:, 0]  # highest (decayed) score
+
+    # grid -> seconds -> fractions (meta_archs.py:736-741)
+    stride_s = batch["feat_stride"][:, None]
+    nframes = batch["feat_num_frames"][:, None]
+    fps = batch["fps"][:, None]
+    secs = (best * stride_s + 0.5 * nframes) / fps
+    secs = jnp.clip(secs, 0.0, batch["duration"][:, None])
+    return secs / batch["duration"][:, None]
+
+
+from vmrframe_tpu.data.af_batcher import ActionFormerBatcher  # noqa: E402
+
+register_model(
+    "ActionFormer",
+    loss_fn=actionformer_loss,
+    infer_fn=actionformer_infer,
+    stateful=True,
+    init_extras=actionformer_init_extras,
+    batcher_cls=ActionFormerBatcher,
+)(ActionFormer)

@@ -31,6 +31,10 @@ class ModelEntry:
     infer_fn: Optional[Callable] = None
     # optional: model-specific config validation / defaults
     config_hook: Optional[Callable] = None
+    # stateful losses (e.g. ActionFormer's EMA loss normalizer):
+    # loss_fn(outputs, batch, cfg, extras) -> (loss, new_extras)
+    stateful: bool = False
+    init_extras: Optional[Callable] = None  # (cfg) -> extras pytree
 
 
 def register_model(name: str, **kwargs):

@@ -40,16 +40,19 @@ logger = logging.getLogger("vmrframe_tpu")
 
 
 class TrainState:
-    """Minimal train state pytree: params + opt_state + step."""
+    """Minimal train state pytree: params + opt_state + step (+ optional
+    ``extras`` for stateful losses, e.g. ActionFormer's EMA loss normalizer,
+    reference meta_archs.py:324-326,585-588)."""
 
-    def __init__(self, params, constants, opt_state, step):
+    def __init__(self, params, constants, opt_state, step, extras=None):
         self.params = params
         self.constants = constants
         self.opt_state = opt_state
         self.step = step
+        self.extras = {} if extras is None else extras
 
     def tree_flatten(self):
-        return (self.params, self.constants, self.opt_state, self.step), None
+        return (self.params, self.constants, self.opt_state, self.step, self.extras), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -96,7 +99,8 @@ class Trainer:
         params = variables["params"]
         constants = variables.get("constants", {})
         opt_state = self.tx.init(params)
-        state = TrainState(params, constants, opt_state, jnp.zeros((), jnp.int32))
+        extras = self.entry.init_extras(self.cfg) if self.entry.init_extras else {}
+        state = TrainState(params, constants, opt_state, jnp.zeros((), jnp.int32), extras)
         return jax.device_put(state, self._repl)
 
     # ---------- steps ----------
@@ -117,13 +121,17 @@ class Trainer:
                 False,
                 rngs={"dropout": d_rng, "gumbel": g_rng},
             )
-            loss = entry.loss_fn(outputs, batch, cfg)
-            return loss, outputs
+            if entry.stateful:
+                loss, new_extras = entry.loss_fn(outputs, batch, cfg, state.extras)
+            else:
+                loss, new_extras = entry.loss_fn(outputs, batch, cfg), state.extras
+            return loss, (outputs, new_extras)
 
-        (loss, outputs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, (outputs, new_extras)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_extras = jax.lax.stop_gradient(new_extras)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(params, state.constants, opt_state, state.step + 1)
+        new_state = TrainState(params, state.constants, opt_state, state.step + 1, new_extras)
 
         props = entry.infer_fn(outputs, batch, cfg)
         from vmrframe_tpu.metrics import iou_device
@@ -134,7 +142,10 @@ class Trainer:
     def _eval_step(self, state: TrainState, batch) -> Dict[str, jnp.ndarray]:
         cfg, entry, model = self.cfg, self.entry, self.model
         outputs = model.apply({"params": state.params, "constants": state.constants}, batch, True)
-        loss = entry.loss_fn(outputs, batch, cfg)
+        if entry.stateful:
+            loss, _ = entry.loss_fn(outputs, batch, cfg, state.extras)
+        else:
+            loss = entry.loss_fn(outputs, batch, cfg)
         props = entry.infer_fn(outputs, batch, cfg)
         from vmrframe_tpu.metrics import iou_device
 
