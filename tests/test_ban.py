@@ -1,0 +1,99 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vmrframe_tpu.config import Derived, load_config
+from vmrframe_tpu.data.ban_batcher import BANBatcher
+from vmrframe_tpu.data.labels import mask2d as build_mask2d
+from vmrframe_tpu.testing import make_synthetic_data
+from vmrframe_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def ban_cfg():
+    return load_config(os.path.join(os.path.dirname(__file__), "configs", "charades_ban.json"))
+
+
+def test_lstm_matches_torch_packed():
+    """Masked scan LSTM == torch packed bidirectional LSTM."""
+    torch = pytest.importorskip("torch")
+    from vmrframe_tpu.layers.recurrent import LSTM
+
+    rng = np.random.default_rng(0)
+    B, T, D, H = 3, 10, 6, 8
+    x = rng.standard_normal((B, T, D)).astype(np.float32)
+    lengths = np.array([10, 7, 4])
+
+    mod = LSTM(hidden_dim=H, num_layers=1, bidirectional=True)
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(lengths))
+    out = np.asarray(mod.apply(params, jnp.asarray(x), jnp.asarray(lengths)))
+
+    t_lstm = torch.nn.LSTM(D, H, 1, batch_first=True, bidirectional=True)
+    sd = {}
+    p = params["params"]
+    sd["weight_ih_l0"] = torch.tensor(np.asarray(p["w_ih_l0"]))
+    sd["weight_hh_l0"] = torch.tensor(np.asarray(p["w_hh_l0"]))
+    sd["bias_ih_l0"] = torch.tensor(np.asarray(p["b_ih_l0"]))
+    sd["bias_hh_l0"] = torch.tensor(np.asarray(p["b_hh_l0"]))
+    sd["weight_ih_l0_reverse"] = torch.tensor(np.asarray(p["w_ih_l0_reverse"]))
+    sd["weight_hh_l0_reverse"] = torch.tensor(np.asarray(p["w_hh_l0_reverse"]))
+    sd["bias_ih_l0_reverse"] = torch.tensor(np.asarray(p["b_ih_l0_reverse"]))
+    sd["bias_hh_l0_reverse"] = torch.tensor(np.asarray(p["b_hh_l0_reverse"]))
+    t_lstm.load_state_dict(sd)
+    packed = torch.nn.utils.rnn.pack_padded_sequence(
+        torch.tensor(x), lengths, batch_first=True, enforce_sorted=False)
+    t_out, _ = t_lstm(packed)
+    t_out, _ = torch.nn.utils.rnn.pad_packed_sequence(t_out, batch_first=True, total_length=T)
+    np.testing.assert_allclose(out, t_out.detach().numpy(), atol=1e-5)
+
+
+def test_segment_max_map_values():
+    from vmrframe_tpu.models.ban import _mask_meta, segment_max_map
+
+    rng = np.random.default_rng(0)
+    L, D = 16, 4
+    x = rng.standard_normal((1, L, D)).astype(np.float32)
+    mask_np, offsets, ii, jj = _mask_meta([4, 2, 2], L)
+    m = np.asarray(segment_max_map(jnp.asarray(x), list(offsets)))
+    for i, j in zip(ii, jj):
+        np.testing.assert_allclose(m[0, i, j], x[0, i : j + 1].max(axis=0), atol=1e-6,
+                                   err_msg=f"cell ({i},{j})")
+
+
+def test_proposal_selection_properties():
+    from vmrframe_tpu.models.ban import proposal_selection
+
+    rng = np.random.default_rng(0)
+    K = 50
+    moments = np.zeros((K, 2), dtype=np.float32)
+    moments[:, 0] = rng.integers(0, 10, K)
+    moments[:, 1] = moments[:, 0] + rng.integers(1, 8, K)
+    scores = rng.random(K).astype(np.float32)
+    topk, neighbor, negative = 4, 2, 0
+    idx = np.asarray(proposal_selection(jnp.asarray(scores), jnp.asarray(moments),
+                                        topk=topk, neighbor=neighbor, negative=negative, thresh=0.7))
+    assert idx.shape == (topk * (neighbor + 1),)
+    assert np.unique(idx).size == idx.size  # no duplicates
+    # the global argmax is always selected
+    assert int(np.argmax(scores)) in idx
+
+
+def test_ban_trains_and_evals(ban_cfg):
+    dataset, store = make_synthetic_data(ban_cfg, seed=0, n_train=16, n_test=8)
+    derived = Derived(num_words=dataset["n_words"], num_chars=dataset["n_chars"],
+                      num_train_steps=4, steps_per_epoch=2)
+    train_b = BANBatcher(dataset["train_set"], store, ban_cfg, derived, "train")
+    test_b = BANBatcher(dataset["test_set"], store, ban_cfg, derived, "test")
+    trainer = Trainer(ban_cfg, derived, dataset["word_vector"])
+    rng = jax.random.PRNGKey(0)
+    state = trainer.init_state(rng, next(train_b.epoch(seed=0)))
+    step = trainer.compiled_train_step()
+    for batch in train_b.epoch(seed=0):
+        state, m = step(state, trainer._shard_batch(batch), rng)
+        assert np.isfinite(float(m["loss"])), "BAN loss not finite"
+    ious1, _, _ = trainer.run_eval_epoch(state, test_b.epoch(seed=0))
+    ious2, _, _ = trainer.run_eval_epoch(state, test_b.epoch(seed=0))
+    np.testing.assert_allclose(ious1, ious2, atol=1e-6)

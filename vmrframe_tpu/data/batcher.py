@@ -41,9 +41,12 @@ class Batcher:
         self.tlen = cfg.model.tlen
         self.vdim = cfg.model.vdim
         self.char_len = derived.char_len
-        self.aug = dict(cfg.dataprocess.video_augmentation.to_dict()) if hasattr(
-            cfg.dataprocess.video_augmentation, "to_dict") else dict(cfg.dataprocess.video_augmentation)
-        self.sample_type = cfg.dataprocess.sample_type
+        # some reference configs ship without a dataprocess section (e.g.
+        # config/charades/BAN.json) — default to the identity pipeline
+        dp = cfg.get("dataprocess")
+        aug = dp.get("video_augmentation") if dp else None
+        self.aug = dict(aug.to_dict() if hasattr(aug, "to_dict") else aug) if aug else {"unchanged": None}
+        self.sample_type = dp.get("sample_type", "truncation") if dp else "truncation"
         self._resample_cache: Dict[str, np.ndarray] = {}
         self._aug_is_identity = set(self.aug.keys()) == {"unchanged"}
 

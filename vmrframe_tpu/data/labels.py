@@ -90,11 +90,17 @@ def iou_1d(candidates: np.ndarray, gt: Sequence[float]) -> np.ndarray:
     return np.clip(inter, 0, None) / union
 
 
-def iou2d_label(stime: float, etime: float, duration: float, num_clips: int) -> np.ndarray:
-    """(L, L) map of IoU between cell-(i,j) span [i, j+1]*duration/L and gt."""
+def iou2d_label(stime: float, etime: float, duration: float, num_clips: int,
+                end_plus_one: bool = True) -> np.ndarray:
+    """(L, L) map of IoU between cell-(i, j) spans and the gt moment.
+
+    ``end_plus_one=True`` uses span [i, j+1]·duration/L (BaseDataset
+    get_label2d via score2d_to_moments_scores, utils/utils.py:279-284);
+    False uses [i, j]·duration/L (BAN's collate builds it WITHOUT the +1,
+    models/BAN.py:225-231 — an inconsistency we reproduce)."""
     i = np.arange(num_clips, dtype=np.float64)
     starts = np.repeat(i, num_clips) * duration / num_clips
-    ends = (np.tile(i, num_clips) + 1) * duration / num_clips
+    ends = (np.tile(i, num_clips) + (1 if end_plus_one else 0)) * duration / num_clips
     cand = np.stack([starts, ends], axis=1)
     return iou_1d(cand, [stime, etime]).reshape(num_clips, num_clips).astype(np.float32)
 
@@ -116,6 +122,43 @@ def mask2d(L: int, pooling_counts: Optional[Sequence[int]] = None) -> np.ndarray
             out[idx, idx + offset] = True
         stride *= 2
     return out
+
+
+def map2d_contrast(sidx: int, eidx: int, num_clips: int) -> np.ndarray:
+    """(2, L, L) bool pos/neg cell masks for BAN's contrastive loss
+    (reference utils/BaseDataset.py:97-115): positives = spans containing the
+    gt, negatives = spans strictly before/after it."""
+    x = np.arange(0, sidx + 1, dtype=int)
+    y = np.arange(max(eidx - 1, 0), num_clips, dtype=int)
+    pos = np.zeros((num_clips, num_clips), dtype=bool)
+    pos[np.ix_(x, y)] = True
+
+    neg = np.zeros((num_clips, num_clips), dtype=bool)
+    for offset in range(sidx):
+        i = np.arange(0, sidx - offset)
+        neg[i, i + offset] = True
+    for offset in range(eidx):
+        i = np.arange(eidx, num_clips - offset)
+        j = i + offset
+        keep = j < num_clips
+        neg[i[keep], j[keep]] = True
+    if neg.sum() == 0:
+        neg[0, 0] = True
+        neg[num_clips - 1, num_clips - 1] = True
+    return np.stack([pos, neg])
+
+
+def se_offset_label(stime: float, etime: float, duration: float, num_clips: int) -> np.ndarray:
+    """(L, L, 2) start/end offsets (fraction of duration) from each cell's
+    span [i, j+1]·duration/L to the gt moment (reference collate_fn_BAN,
+    models/BAN.py:233-239)."""
+    i = np.arange(num_clips, dtype=np.float64)
+    starts = np.repeat(i, num_clips) * duration / num_clips
+    ends = (np.tile(i, num_clips) + 1) * duration / num_clips
+    off = np.empty((num_clips * num_clips, 2), dtype=np.float32)
+    off[:, 0] = (stime - starts) / duration
+    off[:, 1] = (etime - ends) / duration
+    return off.reshape(num_clips, num_clips, 2)
 
 
 def label_span_from_curve(label: np.ndarray, threshold: float = 0.01) -> Tuple[int, int]:

@@ -5,3 +5,4 @@ import vmrframe_tpu.models.basefast  # noqa: F401
 import vmrframe_tpu.models.backbone  # noqa: F401
 import vmrframe_tpu.models.actionformer  # noqa: F401
 import vmrframe_tpu.models.backbone_actionformer  # noqa: F401
+import vmrframe_tpu.models.ban  # noqa: F401

@@ -1,0 +1,467 @@
+"""BAN — Boundary-Aware Network with 2D temporal proposal maps
+(reference models/BAN.py + models/BANlib/model.py).
+
+Architecture: BiLSTM visual/query encoders -> CQAttention fusion -> cross
+BiLSTM -> TemporalDifference boundary/content streams -> 2D proposal map
+(boundary-cat + content segment-max) -> coarse tmap predictor -> adaptive
+proposal sampling (top-k + neighbors) -> proposal positional encoding ->
+AdaptiveGCN interaction -> refine + offset heads.  5-term loss: scaled-IoU
+BCE + refine BCE + temporal-difference CE + SmoothL1 offsets + InfoNCE
+contrast (train_engine_BAN, models/BAN.py:211-271).
+
+TPU-native redesign (vs the reference's CUDA/python path):
+
+- packed BiLSTMs -> masked lax.scan LSTM (layers/recurrent.py);
+- SparseMaxPool's iterated 1D max-pool chain writing diagonals of a
+  (B, D, N, N) map (BANlib/model.py:257-290) -> the same diagonal values
+  computed as windowed segment-maxes and scattered with static indices;
+- SparseBoundaryCat + the 3·D concat projection -> algebraically split into
+  three matmuls A_i + B_j + C_ij (never materializing the concat map);
+  invalid cells reproduce the reference's relu(bias) exactly;
+- the per-sample python NMS proposal sampler (BANlib/model.py:371-435) -> a
+  fixed-shape sorted-space loop over the STATIC valid-cell list, vmapped
+  over the batch.  When fewer than prop_num cells are selected the fill
+  order differs from the reference only in proposal ORDER (a set-equal
+  multiset), which no downstream op observes.
+
+NOTE the reference's BAN path cannot actually run as shipped: its collate
+reads d['map2d_contrast'] which BaseDataset has commented out
+(utils/BaseDataset.py:47), and AdaptiveGCN reads config.model.gcn while the
+shipped config puts gcn at top level (config/charades/BAN.json).  We build
+the contrast masks in the batcher and accept gcn at either location.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from vmrframe_tpu.data.labels import mask2d as build_mask2d
+from vmrframe_tpu.layers.recurrent import LSTM, masked_mean
+from vmrframe_tpu.ops.masking import mask_logits
+from vmrframe_tpu.registry import register_model
+
+
+# ---------------------------------------------------------------- layers
+
+
+class BANQueryEncoder(nn.Module):
+    """Frozen-GloVe embedding + BiLSTM + masked-mean sentence vector
+    (BANlib/model.py:8-56)."""
+
+    hidden_dim: int
+    embed_dim: int
+    num_layers: int
+    word_vectors: Any
+
+    @nn.compact
+    def __call__(self, tokens, lengths):
+        unk = self.param("unk_vec", nn.initializers.xavier_uniform(), (1, self.embed_dim))
+        glove = self.variable(
+            "constants", "glove_vec",
+            lambda: jnp.asarray(np.asarray(self.word_vectors, dtype=np.float32)),
+        ).value
+        pad = jnp.zeros((1, self.embed_dim), dtype=jnp.float32)
+        table = jnp.concatenate([pad, unk, glove], axis=0)
+        emb = jnp.take(table, tokens, axis=0)
+        out = LSTM(self.hidden_dim, self.num_layers, bidirectional=True, name="biLSTM")(emb, lengths)
+        return masked_mean(out, lengths), out
+
+
+class BANVisualEncoder(nn.Module):
+    """BiLSTM + masked-mean clip vector (BANlib/model.py:59-85)."""
+
+    hidden_dim: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, x, lengths):
+        out = LSTM(self.hidden_dim, self.num_layers, bidirectional=True, name="biLSTM")(x, lengths)
+        return masked_mean(out, lengths), out
+
+
+class BANCQAttention(nn.Module):
+    """BAN's CQAttention variant (BANlib/model.py:104-142): the column
+    softmax S2 is computed WITHOUT the context mask (a reference quirk we
+    keep), plus a learned scalar bias on the trilinear scores."""
+
+    d_model: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, C, Q, q_mask, deterministic: bool = True):
+        w4C = self.param("w4C", nn.initializers.xavier_uniform(), (self.d_model, 1))
+        w4Q = self.param("w4Q", nn.initializers.xavier_uniform(), (self.d_model, 1))
+        w4mlu = self.param("w4mlu", nn.initializers.xavier_uniform(), (1, 1, self.d_model))
+        bias = self.param("bias", nn.initializers.zeros, (1,))
+        drop = lambda t: nn.Dropout(self.dropout)(t, deterministic=deterministic)
+        Cd, Qd = drop(C), drop(Q)
+        S = jnp.matmul(Cd, w4C) + jnp.matmul(Qd, w4Q).transpose(0, 2, 1) + jnp.einsum(
+            "bld,bmd->blm", Cd * w4mlu, Qd
+        )
+        S = S + bias
+        S1 = jax.nn.softmax(mask_logits(S, q_mask[:, None, :]), axis=2)
+        S2 = jax.nn.softmax(S, axis=1)
+        A = jnp.matmul(S1, Q)
+        Bt = jnp.matmul(jnp.matmul(S1, S2.transpose(0, 2, 1)), C)
+        return jnp.concatenate([C, A, C * A, C * Bt], axis=2)
+
+
+class MLPBlock(nn.Module):
+    """Linear -> ReLU -> Dropout (the reference's many nn.Sequential heads)."""
+
+    out_dim: int
+    droprate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        from vmrframe_tpu.layers.basic import torch_linear_init, torch_bias_init_for
+
+        in_dim = x.shape[-1]
+        kernel = self.param("kernel", torch_linear_init, (in_dim, self.out_dim))
+        b = self.param("bias", torch_bias_init_for(in_dim), (self.out_dim,))
+        y = jax.nn.relu(x @ kernel + b)
+        return nn.Dropout(self.droprate)(y, deterministic=deterministic)
+
+
+class Linear(nn.Module):
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        from vmrframe_tpu.layers.basic import torch_linear_init, torch_bias_init_for
+
+        in_dim = x.shape[-1]
+        kernel = self.param("kernel", torch_linear_init, (in_dim, self.out_dim))
+        b = self.param("bias", torch_bias_init_for(in_dim), (self.out_dim,))
+        return x @ kernel + b
+
+
+class TemporalDifference(nn.Module):
+    """Boundary/content streams + squared temporal-difference signal
+    (BANlib/model.py:145-217).  The LSTMs run UNMASKED over the padded
+    sequence, matching the reference (no packing there)."""
+
+    split_dim: int
+    droprate: float
+    layer_num: int = 2
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        hb = LSTM(self.split_dim, self.layer_num, bidirectional=True, name="feature_transform_b")(x, None)
+        hc = LSTM(self.split_dim, self.layer_num, bidirectional=True, name="feature_transform_c")(x, None)
+        hb = MLPBlock(self.split_dim, self.droprate, name="feature_proj_b")(hb, deterministic)
+        hc = MLPBlock(self.split_dim, self.droprate, name="feature_proj_c")(hc, deterministic)
+        # td: replicate-pad both ends, squared one-step differences
+        right = jnp.concatenate([hb[:, 1:], hb[:, -1:]], axis=1) - hb
+        left = jnp.concatenate([hb[:, :1], hb[:, :-1]], axis=1) - hb
+        td = jnp.sum(jnp.square(right) + jnp.square(left), axis=-1)
+        return hb, hc, td
+
+
+def segment_max_map(x: jnp.ndarray, offsets) -> jnp.ndarray:
+    """Scatter seg-max diagonals into a dense (B, L, L, D) map.
+
+    x: (B, L, D).  For offset o, cell (i, i+o) = max(x[i..i+o]) — the exact
+    values the reference's iterated max-pool chain produces
+    (BANlib/model.py:257-290), computed as one reduce_window per offset.
+    """
+    B, L, D = x.shape
+    map2d = jnp.zeros((B, L, L, D), x.dtype)
+    map2d = map2d.at[:, jnp.arange(L), jnp.arange(L), :].set(x)
+    for o in offsets:
+        win = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max,
+            window_dimensions=(1, o + 1, 1), window_strides=(1, 1, 1), padding="VALID",
+        )  # (B, L-o, D)
+        i = jnp.arange(L - o)
+        map2d = map2d.at[:, i, i + o, :].set(win)
+    return map2d
+
+
+def _mask_meta(pooling_counts, L) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    m = build_mask2d(L, pooling_counts)
+    offsets = []
+    stride, offset = 1, 0
+    for c in pooling_counts:
+        for _ in range(c):
+            offset += stride
+            if offset < L:
+                offsets.append(offset)
+        stride *= 2
+    ii, jj = np.nonzero(m)
+    return m, np.asarray(offsets), ii, jj
+
+
+def _iou_cells(moments: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+    """IoU of (K, 2) grid spans vs one (2,) span (BANlib iou, model.py:345-356)."""
+    inter = jnp.minimum(moments[:, 1], ref[1]) - jnp.maximum(moments[:, 0], ref[0])
+    union = jnp.maximum(moments[:, 1], ref[1]) - jnp.minimum(moments[:, 0], ref[0])
+    return jnp.clip(inter, 0.0) / union
+
+
+def proposal_selection(scores: jnp.ndarray, moments: jnp.ndarray, topk: int,
+                       neighbor: int, negative: int, thresh: float) -> jnp.ndarray:
+    """Fixed-shape re-expression of proposal_selection_with_negative
+    (BANlib/model.py:359-393).  Returns prop_num cell indices into the
+    K-cell list (indices into the UNSORTED cell arrays)."""
+    K = scores.shape[0]
+    order = jnp.argsort(-scores)  # descending
+    m_sorted = moments[order]
+
+    def body(carry, _):
+        suppressed, select = carry
+        i = jnp.argmax(~suppressed)  # first unsuppressed in sorted order
+        ious = _iou_cells(m_sorted, m_sorted[i])
+        after = jnp.arange(K) > i
+        overlap = (ious > thresh) & after
+        sel = overlap & (jnp.cumsum(overlap) <= neighbor)
+        select = select | sel
+        select = select.at[i].set(True)
+        suppressed = suppressed | overlap
+        suppressed = suppressed.at[i].set(True)
+        return (suppressed, select), None
+
+    (suppressed, select), _ = jax.lax.scan(
+        body, (jnp.zeros(K, bool), jnp.zeros(K, bool)), None, length=topk
+    )
+    total = topk * (neighbor + 1)
+    count = jnp.sum(select)
+    un = ~suppressed
+    pos_fill = un & (jnp.cumsum(un) <= jnp.maximum(total - count, 0))
+    neg_fill = un & (jnp.cumsum(un[::-1])[::-1] <= negative)
+    pos_rank = jnp.arange(K)
+    prio = jnp.where(select, pos_rank,
+                     jnp.where(pos_fill | neg_fill, K + pos_rank, 2 * K + pos_rank))
+    take = jnp.argsort(prio)[: total + negative]
+    return order[take]
+
+
+class AdaptiveGCN(nn.Module):
+    """Edge conv on the semantic proposal graph (BANlib/model.py:565-580):
+    out_i = max_j relu(W·[x_j − x_i, x_i])."""
+
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, x):  # (B, N, D)
+        diff = x[:, None, :, :] - x[:, :, None, :]  # (B, N, N, D): x_j - x_i
+        base = jnp.broadcast_to(x[:, :, None, :], diff.shape)  # x_i
+        feat = jnp.concatenate([diff, base], axis=-1)
+        out = jax.nn.relu(Linear(self.hidden_size, name="fc")(feat))
+        return jnp.max(out, axis=2)
+
+
+# ---------------------------------------------------------------- model
+
+
+def _gcn_cfg(cfg):
+    if "gcn" in cfg.model:
+        return cfg.model.gcn
+    return cfg.gcn
+
+
+class BAN(nn.Module):
+    cfg: Any
+    derived: Any
+    word_vectors: Any
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], deterministic: bool = True):
+        m = self.cfg.model
+        L = m.vlen
+        fuse = m.fuse_dim
+        vlens, tlens = batch["vlens"], batch["tlens"]
+        tmask = (jnp.arange(batch["words_ids"].shape[1])[None, :] < tlens[:, None]).astype(jnp.float32)
+
+        _, clip_feature = BANVisualEncoder(m.dim, m.lstm_layer, name="visual_encoder")(
+            batch["vfeats"], vlens)
+        sentence_feature, word_feature = BANQueryEncoder(
+            m.dim, m.query_embed_dim, m.lstm_layer, self.word_vectors, name="query_encoder"
+        )(batch["words_ids"], tlens)
+        cat_feature = BANCQAttention(fuse, name="cqa_att")(clip_feature, word_feature, tmask, deterministic)
+        _, fuse_feature = BANVisualEncoder(m.dim, m.lstm_layer, name="cross_encoder")(cat_feature, vlens)
+
+        hidden_b, hidden_c, td = TemporalDifference(
+            fuse, m.droprate, layer_num=2, name="boundary_aware")(fuse_feature, deterministic)
+
+        mask_np, offsets, ii, jj = _mask_meta(list(m.pooling_counts), L)
+        mask2d = jnp.asarray(mask_np)
+
+        # content stream: segment-max map (only valid cells are nonzero)
+        map2d_c = segment_max_map(fuse_feature, list(offsets))
+        map2d_c = map2d_c * mask2d[None, :, :, None]
+
+        # boundary-cat + projection, decomposed: proj([b_i, b_j, c_ij]) =
+        # b_i@W1 + b_j@W2 + c_ij@W3 + bias  (relu(bias) at invalid cells,
+        # exactly like projecting the reference's zero-filled concat map)
+        W = self.param("map2d_proj_kernel",
+                       lambda k, s: jax.random.uniform(k, s, jnp.float32,
+                                                       -1 / math.sqrt(3 * fuse), 1 / math.sqrt(3 * fuse)),
+                       (3 * fuse, fuse))
+        b = self.param("map2d_proj_bias",
+                       lambda k, s: jax.random.uniform(k, s, jnp.float32,
+                                                       -1 / math.sqrt(3 * fuse), 1 / math.sqrt(3 * fuse)),
+                       (fuse,))
+        W1, W2, W3 = W[:fuse], W[fuse : 2 * fuse], W[2 * fuse :]
+        A = hidden_b @ W1  # (B, L, F) — start boundary term
+        Bt = hidden_b @ W2  # end boundary term
+        z = A[:, :, None, :] + Bt[:, None, :, :] + jnp.einsum("bijf,fg->bijg", map2d_c, W3) + b
+        z = jnp.where(mask2d[None, :, :, None], z, b)
+        map2d = jax.nn.relu(z)
+        map2d = nn.Dropout(0.1)(map2d, deterministic=deterministic)
+
+        tmap = Linear(1, name="predictor_out")(
+            MLPBlock(fuse, 0.1, name="predictor_hidden")(map2d, deterministic)).squeeze(-1)
+
+        contrast_dim = m.contrast_dim
+        map2d_proj = Linear(contrast_dim, name="contrast_encoder_out")(
+            jax.nn.relu(Linear(contrast_dim, name="contrast_encoder_hidden")(map2d_c)))
+        sen_proj = Linear(contrast_dim, name="contrast_encoder_t_out")(
+            jax.nn.relu(Linear(contrast_dim, name="contrast_encoder_t_hidden")(sentence_feature)))
+
+        # ---- adaptive proposal sampling (static valid-cell list) ----
+        cells_i = jnp.asarray(ii)
+        cells_j = jnp.asarray(jj)
+        moments = jnp.stack([cells_i, cells_j + 1], axis=1).astype(jnp.float32)  # grids[:,1]+=1
+        score_pred = jax.lax.stop_gradient(jax.nn.sigmoid(tmap))  # masked below
+        cell_scores = score_pred[:, cells_i, cells_j]  # (B, K)
+
+        sel_idx = jax.vmap(
+            lambda s: proposal_selection(s, moments, topk=m.topk, neighbor=m.neighbor,
+                                         negative=m.negative, thresh=0.7)
+        )(cell_scores)
+        # (B, prop_num) indices into cells
+        prop_i = cells_i[sel_idx]  # start index s
+        prop_j = cells_j[sel_idx]  # end-1 index (e = j+1)
+        bidx = jnp.arange(tmap.shape[0])[:, None]
+        prop_feature = map2d[bidx, prop_i, prop_j]  # (B, P, F)
+        offset_gt = batch["start_end_offset"][bidx, prop_i, prop_j]  # (B, P, 2)
+        pred_score = tmap[bidx, prop_i, prop_j]
+        pred_s_e = jnp.stack([prop_i, prop_j + 1], axis=-1)  # grid spans (s, e)
+
+        # proposal positional encoding (BANlib/model.py:467-498)
+        pe = jnp.asarray(_sinusoid_pe(128, m.dim))
+        pos_s = pe[prop_i]
+        pos_e = pe[prop_j]  # pe[e-1]
+        prop_feature = Linear(fuse, name="prop_pe_fc")(
+            jnp.concatenate([prop_feature, pos_s, pos_e], axis=-1))
+
+        gcn = _gcn_cfg(self.cfg)
+        for blk in range(gcn.num_blocks):
+            prop_feature = AdaptiveGCN(gcn.hidden_size, name=f"prop_interact_{blk}")(prop_feature)
+
+        pred = Linear(1, name="predictor2_out")(
+            MLPBlock(fuse, 0.1, name="predictor2_hidden")(prop_feature, deterministic)).squeeze(-1)
+        offset = Linear(2, name="predictor_offset_out")(
+            MLPBlock(fuse, 0.1, name="predictor_offset_hidden")(prop_feature, deterministic))
+
+        return {
+            "tmap": tmap,
+            "map2d_mask": mask2d,
+            "map2d_proj": map2d_proj,
+            "sen_proj": sen_proj,
+            "coarse_pred": pred_s_e,
+            "final_pred": pred,
+            "offset": offset,
+            "offset_gt": offset_gt,
+            "pred_score": pred_score,
+            "td": td,
+            "vlens": vlens,
+        }
+
+
+def _sinusoid_pe(max_len: int, dim: int) -> np.ndarray:
+    pe = np.zeros((max_len, dim), dtype=np.float32)
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div = np.exp(np.arange(0, dim, 2, dtype=np.float32) * (-math.log(10000.0) / dim))
+    pe[:, 0::2] = np.sin(position * div)
+    pe[:, 1::2] = np.cos(position * div)
+    return pe
+
+
+# ---------------------------------------------------------------- loss
+
+
+def _smooth_l1(x, y):
+    d = jnp.abs(x - y)
+    return jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)
+
+
+def ban_loss(outputs, batch, cfg):
+    """5-term BAN objective (train_engine_BAN, models/BAN.py:211-271)."""
+    lw = cfg.loss
+    sample_mask = batch["sample_mask"]
+    mask2d = outputs["map2d_mask"]  # (L, L) bool
+    iou_scaled = jnp.clip((batch["iou2ds"] - lw.min_iou) / (lw.max_iou - lw.min_iou), 0, 1)
+
+    # 1. coarse map BCE over valid cells
+    tmap = outputs["tmap"]
+    per_cell = iou_scaled * jax.nn.softplus(-tmap) + (1 - iou_scaled) * jax.nn.softplus(tmap)
+    w2d = mask2d[None].astype(tmap.dtype) * sample_mask[:, None, None]
+    loss_bce = jnp.sum(per_cell * w2d) / jnp.maximum(jnp.sum(w2d), 1.0)
+
+    # 2. refine BCE on sampled proposals vs their scaled IoU
+    pred_s_e = outputs["coarse_pred"]
+    bidx = jnp.arange(tmap.shape[0])[:, None]
+    ious_gt = iou_scaled[bidx, pred_s_e[..., 0], pred_s_e[..., 1] - 1]
+    fp = outputs["final_pred"]
+    per_prop = ious_gt * jax.nn.softplus(-fp) + (1 - ious_gt) * jax.nn.softplus(fp)
+    wp = jnp.broadcast_to(sample_mask[:, None], per_prop.shape)
+    loss_refine = jnp.sum(per_prop * wp) / jnp.maximum(jnp.sum(wp), 1.0)
+
+    # 3. temporal-difference loss (BANlib/model.py:672-684)
+    td_mask = jnp.sum(batch["dist_idxs"], axis=1)  # (B, L)
+    td = jax.nn.softmax(outputs["td"], axis=-1)
+    numer = jnp.sum(td_mask * jnp.log(jnp.maximum(td, 1e-30)), axis=-1)
+    denom = jnp.sum(td_mask, axis=-1)
+    per_sample_td = -numer / (denom + 1e-8)
+    loss_td = jnp.sum(per_sample_td * sample_mask) / jnp.maximum(jnp.sum(sample_mask), 1.0)
+
+    # 4. offset SmoothL1
+    off_p, off_g = outputs["offset"], outputs["offset_gt"]
+    per = _smooth_l1(off_p[..., 0], off_g[..., 0]) + _smooth_l1(off_p[..., 1], off_g[..., 1])
+    loss_offset = jnp.sum(per * wp) / jnp.maximum(jnp.sum(wp), 1.0)
+
+    # 5. contrastive InfoNCE over pos/neg cells (BANlib/model.py:639-669)
+    pos_m = batch["map2d_contrasts"][:, 0].astype(bool) & mask2d[None]
+    neg_m = batch["map2d_contrasts"][:, 1].astype(bool) & mask2d[None]
+    cells = outputs["map2d_proj"]  # (B, L, L, C)
+    cells_n = cells / (jnp.linalg.norm(cells, axis=-1, keepdims=True) + 1e-8)
+    sen = outputs["sen_proj"]
+    sen_n = sen / (jnp.linalg.norm(sen, axis=-1, keepdims=True) + 1e-8)
+    sim = jnp.einsum("bijc,bc->bij", cells_n, sen_n)
+    tao = 1.0
+    pos_exp = jnp.sum(jnp.where(pos_m, jnp.exp(sim / tao), 0.0), axis=(1, 2))
+    all_exp = pos_exp + jnp.sum(jnp.where(neg_m, jnp.exp(sim / tao), 0.0), axis=(1, 2))
+    has_both = (jnp.sum(pos_m, (1, 2)) > 0) & (jnp.sum(neg_m, (1, 2)) > 0)
+    per_c = -jnp.log(pos_exp / (all_exp + 1e-8) + 1e-30)
+    wc = has_both.astype(per_c.dtype) * sample_mask
+    loss_contrast = jnp.sum(per_c * wc) / jnp.maximum(jnp.sum(wc), 1.0)
+
+    return (loss_bce * lw.bce + loss_refine * lw.refine + loss_td * lw.td
+            + loss_offset * lw.offset + loss_contrast * lw.contrast)
+
+
+def ban_infer(outputs, batch, cfg):
+    """Raw-tmap triu argmax / valid length (reference infer_BAN,
+    models/BAN.py:297-307 — no sigmoid, no mask2d; quirks preserved)."""
+    tmap = outputs["tmap"]
+    L = tmap.shape[-1]
+    triu = jnp.triu(jnp.ones((L, L), bool))
+    outer = jnp.where(triu[None], tmap, 0.0)
+    start_idx = jnp.argmax(jnp.max(outer, axis=2), axis=1)
+    end_idx = jnp.argmax(jnp.max(outer, axis=1), axis=1)
+    denom = outputs["vlens"].astype(jnp.float32)
+    return jnp.stack([start_idx / denom, end_idx / denom], axis=1)
+
+
+from vmrframe_tpu.data.ban_batcher import BANBatcher  # noqa: E402
+
+register_model("BAN", loss_fn=ban_loss, infer_fn=ban_infer, batcher_cls=BANBatcher)(BAN)
