@@ -1,0 +1,70 @@
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from vmrframe_tpu.config import Derived, load_config
+from vmrframe_tpu.data.cca_batcher import CCABatcher
+from vmrframe_tpu.testing import make_synthetic_data
+from vmrframe_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def cca_cfg():
+    return load_config(os.path.join(os.path.dirname(__file__), "configs", "anet_cca.yaml"))
+
+
+def test_strided_mask_and_map():
+    import jax.numpy as jnp
+
+    from vmrframe_tpu.models.cca import cca_strided_mask_meta, strided_segment_max_map
+
+    L = 16
+    mask, cells = cca_strided_mask_meta([4, 2, 2], L)
+    assert mask[0, 0] and mask[0, 1]
+    # stage-2 diagonals only exist at even starts
+    offs = [o for o, s in cells if s == 2]
+    assert offs, "expected stride-2 diagonals"
+    o = offs[0]
+    assert mask[0, o] and not mask[1, 1 + o]
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, L, 3)).astype(np.float32)
+    m = np.asarray(strided_segment_max_map(jnp.asarray(x), cells))
+    ii, jj = np.nonzero(mask)
+    for i, j in zip(ii, jj):
+        np.testing.assert_allclose(m[0, i, j], x[0, i : j + 1].max(axis=0), atol=1e-6)
+
+
+def test_concepts_synthetic_fallback(cca_cfg):
+    from vmrframe_tpu.data.concepts import load_concepts
+
+    embs, adj = load_concepts(cca_cfg, word_dim=cca_cfg.INPUT.PRE_QUERY_SIZE)
+    assert embs.shape == (24, 50)
+    assert adj.shape == (24, 24)
+    # deterministic across calls
+    embs2, adj2 = load_concepts(cca_cfg, word_dim=cca_cfg.INPUT.PRE_QUERY_SIZE)
+    np.testing.assert_array_equal(embs, embs2)
+
+
+def test_cca_trains_with_batchnorm_state(cca_cfg):
+    dataset, store = make_synthetic_data(cca_cfg, seed=0, n_train=16, n_test=8)
+    derived = Derived(num_words=dataset["n_words"], num_chars=dataset["n_chars"],
+                      num_train_steps=4, steps_per_epoch=2)
+    train_b = CCABatcher(dataset["train_set"], store, cca_cfg, derived, "train")
+    test_b = CCABatcher(dataset["test_set"], store, cca_cfg, derived, "test")
+    trainer = Trainer(cca_cfg, derived, dataset["word_vector"])
+    rng = jax.random.PRNGKey(0)
+    state = trainer.init_state(rng, next(train_b.epoch(seed=0)))
+    assert "batch_stats" in state.constants  # BN running stats tracked
+    bn_before = jax.tree_util.tree_leaves(state.constants["batch_stats"])[0].copy()
+    step = trainer.compiled_train_step()
+    for batch in train_b.epoch(seed=0):
+        state, m = step(state, trainer._shard_batch(batch), rng)
+        assert np.isfinite(float(m["loss"]))
+    bn_after = jax.tree_util.tree_leaves(state.constants["batch_stats"])[0]
+    assert not np.allclose(np.asarray(bn_before), np.asarray(bn_after)), "BN stats must update"
+    ious1, _, _ = trainer.run_eval_epoch(state, test_b.epoch(seed=0))
+    ious2, _, _ = trainer.run_eval_epoch(state, test_b.epoch(seed=0))
+    np.testing.assert_allclose(ious1, ious2, atol=1e-6)

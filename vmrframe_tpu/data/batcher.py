@@ -38,7 +38,7 @@ class Batcher:
         self.loadertype = loadertype
         self.batch_size = batch_size or cfg.train.batch_size
         self.vlen = cfg.model.vlen
-        self.tlen = cfg.model.tlen
+        self.tlen = cfg.model.get("tlen", 30)  # some configs omit tlen (e.g. CCA.yaml)
         self.vdim = cfg.model.vdim
         self.char_len = derived.char_len
         # some reference configs ship without a dataprocess section (e.g.

@@ -432,10 +432,12 @@ def ban_loss(outputs, batch, cfg):
     # 5. contrastive InfoNCE over pos/neg cells (BANlib/model.py:639-669)
     pos_m = batch["map2d_contrasts"][:, 0].astype(bool) & mask2d[None]
     neg_m = batch["map2d_contrasts"][:, 1].astype(bool) & mask2d[None]
-    cells = outputs["map2d_proj"]  # (B, L, L, C)
-    cells_n = cells / (jnp.linalg.norm(cells, axis=-1, keepdims=True) + 1e-8)
-    sen = outputs["sen_proj"]
-    sen_n = sen / (jnp.linalg.norm(sen, axis=-1, keepdims=True) + 1e-8)
+    def _safe_norm(x, eps=1e-8):
+        sq = jnp.sum(x * x, axis=-1, keepdims=True)
+        return x / jnp.sqrt(jnp.maximum(sq, eps * eps))
+
+    cells_n = _safe_norm(outputs["map2d_proj"])  # (B, L, L, C)
+    sen_n = _safe_norm(outputs["sen_proj"])
     sim = jnp.einsum("bijc,bc->bij", cells_n, sen_n)
     tao = 1.0
     pos_exp = jnp.sum(jnp.where(pos_m, jnp.exp(sim / tao), 0.0), axis=(1, 2))

@@ -1,0 +1,278 @@
+"""CCA — Commonsense-aware Cross-modal Alignment (reference models/CCA.py).
+
+Concept GCN over a commonsense graph -> visual features concatenated with
+the concept basis -> transformer layer -> sparse 2D proposal map ->
+SimPredictor (LSTM query + conv2d map) -> concept-fused dual v2t/t2v score
+maps blended by a learned scalar.  Loss: scaled-IoU BCE over the dense
+generate_2dmask cells (CCALoss, models/CCA.py:459-495).
+
+Deviations from the reference, all forced by reference bugs:
+
+- concept pickles are config-injected (data/concepts.py), not loaded from
+  hard-coded absolute paths at import time (models/CCA.py:393-397);
+- the reference feeds (B, C, T+A) into nn.TransformerEncoderLayer WITHOUT
+  batch_first, so torch attends ACROSS THE BATCH (models/CCA.py:337-340);
+  we attend per-sample over the channel rows — the intended semantics;
+- infer_CCA reads output['logit2D_mask'] which the model never returns
+  (models/CCA.py:497-501 would KeyError) and would divide by a (L, L) mask
+  row-sum; we run infer_basic2d with the dense 2D mask and the real frame
+  mask — the sane protocol, consistent with the other 2D models.
+
+BatchNorm running stats live in the 'batch_stats' collection carried by
+TrainState.constants through the jitted step.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from vmrframe_tpu.data.labels import mask2d as dense_mask2d
+from vmrframe_tpu.layers.recurrent import LSTM
+from vmrframe_tpu.models.ban import Linear, segment_max_map
+from vmrframe_tpu.ops.span import infer_span_2d
+from vmrframe_tpu.registry import register_model
+
+
+def _cca_cfg(cfg):
+    return cfg.MODEL.CCA
+
+
+def l2norm(x, eps=1e-12):
+    # safe at exactly-zero vectors (invalid map cells): jnp.linalg.norm has a
+    # NaN gradient at 0; clamping inside the sqrt matches torch F.normalize
+    sq = jnp.sum(x * x, axis=-1, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(sq, eps * eps))
+
+
+def cca_strided_mask_meta(pooling_counts, N):
+    """CCA's STRIDED sparse map (models/CCA.py:183-204): diagonals thin out
+    by the stage stride.  Returns (mask, [(offset, stride)])."""
+    mask = np.zeros((N, N), dtype=bool)
+    mask[np.arange(N), np.arange(N)] = True
+    cells = []
+    stride, offset = 1, 0
+    for c in pooling_counts:
+        for _ in range(c):
+            offset += stride
+            if offset >= N:
+                break
+            i = np.arange(0, N - offset, stride)
+            mask[i, i + offset] = True
+            cells.append((offset, stride))
+        stride *= 2
+    return mask, cells
+
+
+def strided_segment_max_map(x: jnp.ndarray, cells) -> jnp.ndarray:
+    """(B, L, D) -> (B, L, L, D) with cell (i, i+o) = max(x[i..i+o]) for the
+    strided diagonal set."""
+    B, L, D = x.shape
+    out = jnp.zeros((B, L, L, D), x.dtype)
+    out = out.at[:, jnp.arange(L), jnp.arange(L), :].set(x)
+    for o, s in cells:
+        win = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max,
+            window_dimensions=(1, o + 1, 1), window_strides=(1, 1, 1), padding="VALID",
+        )
+        i = jnp.arange(0, L - o, s)
+        out = out.at[:, i, i + o, :].set(win[:, i])
+    return out
+
+
+class ConceptGCN(nn.Module):
+    """C_GCN (models/CCA.py:107-152): two shared-adjacency GCN layers +
+    LeakyReLU + l2norm.  The normalized adjacency is a frozen constant (the
+    reference detaches it)."""
+
+    embed_size: int
+    adj: Any  # (A, A) numpy, already D^-1/2-normalized
+    concept_embs: Any  # (A, word_dim) numpy
+
+    @nn.compact
+    def __call__(self):
+        adj = self.variable("constants", "adj_all", lambda: jnp.asarray(self.adj)).value
+        inp = self.variable("constants", "concept_embs", lambda: jnp.asarray(self.concept_embs)).value
+        half = self.embed_size // 2
+
+        def gcn_init(fan_out):
+            stdv = 1.0 / math.sqrt(fan_out)
+            return lambda k, s: jax.random.uniform(k, s, jnp.float32, -stdv, stdv)
+
+        w1 = self.param("gc1_weight", gcn_init(half), (inp.shape[-1], half))
+        w2 = self.param("gc2_weight", gcn_init(self.embed_size), (half, self.embed_size))
+        x = adj @ (inp @ w1)
+        x = jax.nn.leaky_relu(x, 0.2)
+        x = adj @ (x @ w2)
+        return l2norm(x)
+
+
+class FuseAttention(nn.Module):
+    """Concept fusion attention (models/CCA.py:299-329): single-head
+    attention of the query vector over the concept basis, temperature ×10,
+    dropout 0.5, residual + l2norm."""
+
+    hidden_dim: int
+    concept_dim: int
+
+    @nn.compact
+    def __call__(self, feat, concept, deterministic: bool = True):
+        q = Linear(self.concept_dim, name="query")(feat)  # (B, C)
+        k = Linear(self.hidden_dim, name="key")(concept)  # (A, C)
+        v = Linear(self.hidden_dim, name="value")(concept)
+        scores = jax.nn.softmax(jnp.matmul(q, k.T) * 10.0, axis=1)
+        scores = nn.Dropout(0.5)(scores, deterministic=deterministic)
+        out = jnp.matmul(scores, v)
+        return l2norm(out + feat)
+
+
+class TransformerLayer(nn.Module):
+    """Per-sample post-norm transformer encoder layer (the intended
+    semantics of the reference's nn.TransformerEncoderLayer call,
+    models/CCA.py:337-340): d_model over the last axis, sequence = the
+    channel rows, 8 heads, FFN 2048, dropout 0.1, relu."""
+
+    d_model: int
+    nhead: int = 8
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B, S, D = x.shape
+        drop = lambda t: nn.Dropout(self.dropout)(t, deterministic=deterministic)
+        h = D // self.nhead
+        q = Linear(D, name="q")(x).reshape(B, S, self.nhead, h).transpose(0, 2, 1, 3)
+        k = Linear(D, name="k")(x).reshape(B, S, self.nhead, h).transpose(0, 2, 1, 3)
+        v = Linear(D, name="v")(x).reshape(B, S, self.nhead, h).transpose(0, 2, 1, 3)
+        att = jax.nn.softmax(jnp.einsum("bhsd,bhtd->bhst", q, k) / math.sqrt(h), axis=-1)
+        att = drop(att)
+        out = jnp.einsum("bhst,bhtd->bhsd", att, v).transpose(0, 2, 1, 3).reshape(B, S, D)
+        out = Linear(D, name="out_proj")(out)
+        x = _layer_norm(x + drop(out), self.param("ln1_scale", nn.initializers.ones, (D,)),
+                        self.param("ln1_bias", nn.initializers.zeros, (D,)))
+        ff = Linear(D, name="ff2")(drop(jax.nn.relu(Linear(self.dim_feedforward, name="ff1")(x))))
+        return _layer_norm(x + drop(ff), self.param("ln2_scale", nn.initializers.ones, (D,)),
+                           self.param("ln2_bias", nn.initializers.zeros, (D,)))
+
+
+def _layer_norm(x, scale, bias, eps=1e-5):
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), -1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+class BatchNorm2dTanhConv(nn.Module):
+    """conv5x5 -> tanh(BatchNorm) -> conv3x3 over (B, L, L, C) maps
+    (SimPredictor's map branch, models/CCA.py:253-258)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, map2d, deterministic: bool = True):
+        from vmrframe_tpu.layers.basic import torch_linear_init_conv
+
+        y = nn.Conv(self.features, (5, 5), padding="SAME",
+                    kernel_init=torch_linear_init_conv(map2d.shape[-1] * 25),
+                    name="conv")(map2d)
+        y = nn.BatchNorm(use_running_average=deterministic, momentum=0.9, epsilon=1e-5,
+                         name="bn")(y)
+        y = jnp.tanh(y)
+        return nn.Conv(self.features, (3, 3), padding="SAME",
+                       kernel_init=torch_linear_init_conv(self.features * 9),
+                       name="conv1")(y)
+
+
+class CCA(nn.Module):
+    cfg: Any
+    derived: Any
+    word_vectors: Any
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], deterministic: bool = True):
+        cfg = self.cfg
+        mc = _cca_cfg(cfg)
+        L = mc.NUM_CLIPS
+        hidden = mc.FEATPOOL.HIDDEN_SIZE
+        embed_size = cfg.embed_size
+
+        from vmrframe_tpu.data.concepts import load_concepts
+
+        concept_embs, adj = load_concepts(cfg, word_dim=cfg.INPUT.PRE_QUERY_SIZE)
+        concept_basis = ConceptGCN(embed_size, adj, concept_embs, name="C_GCN")()  # (A, E)
+
+        # featpool: 1x1 conv + relu (pool disabled in the reference)
+        feats = jax.nn.relu(Linear(hidden, name="featpool_conv")(batch["vfeats"]))  # (B, T, H)
+        # concat concept basis along the TIME axis of the (B, H, T) view:
+        # rows = hidden channels, columns = T + A "tokens"
+        feats = feats.transpose(0, 2, 1)  # (B, H, T)
+        A = concept_basis.shape[0]
+        cb = jnp.broadcast_to(concept_basis.T[None], (feats.shape[0], embed_size, A))
+        x = jnp.concatenate([feats, cb], axis=2)  # (B, H, T+A)
+        x = TransformerLayer(L + A, name="V_TransformerLayer")(x, deterministic)
+        feats = x[:, :, :L].transpose(0, 2, 1)  # (B, L, H)
+
+        _, cells = cca_strided_mask_meta(list(mc.FEAT2D.POOLING_COUNTS), L)
+        map2d = strided_segment_max_map(feats, cells)  # (B, L, L, H)
+
+        # ---- SimPredictor (models/CCA.py:230-259) ----
+        unk = self.param("unk_vec", nn.initializers.xavier_uniform(), (1, cfg.model.word_dim))
+        glove = self.variable(
+            "constants", "glove_vec",
+            lambda: jnp.asarray(np.asarray(self.word_vectors, dtype=np.float32)),
+        ).value
+        pad = jnp.zeros((1, cfg.model.word_dim), jnp.float32)
+        table = jnp.concatenate([pad, unk, glove], axis=0)
+        tfeat = jnp.take(table, batch["words_ids"], axis=0)
+
+        qh = mc.INTEGRATOR.QUERY_HIDDEN_SIZE // 2  # bidirectional halves
+        q_out = LSTM(qh, mc.INTEGRATOR.LSTM.NUM_LAYERS, bidirectional=True,
+                     name="sim_lstm")(tfeat, None)
+        wordlens = jnp.sum(batch["tmasks"], axis=1).astype(jnp.int32)
+        q_start = q_out[:, 0]
+        q_end = jnp.take_along_axis(
+            q_out, (wordlens - 1)[:, None, None].clip(0), axis=1).squeeze(1)
+        queries = Linear(hidden, name="fc_full")((q_start + q_end) / 2)  # (B, H)
+
+        map2d_fused = BatchNorm2dTanhConv(hidden, name="sim_map")(map2d, deterministic)
+
+        queries_fused = FuseAttention(hidden, embed_size, name="T_fuse_attn")(
+            queries, concept_basis, deterministic)
+
+        v_t = self.param("v_t_param", nn.initializers.constant(0.5), (1,))
+
+        def scores(q, m):
+            prod = q[:, None, None, :] * m  # (B, L, L, H)
+            return jnp.sum(l2norm(prod), axis=-1)
+
+        v2t = scores(queries, map2d_fused)
+        t2v = scores(queries_fused, map2d)
+        scores2d = v_t * v2t + (1 - v_t) * t2v
+        return {"scores2d": scores2d, "vmask": batch["vmasks"]}
+
+
+def cca_loss(outputs, batch, cfg):
+    """Scaled-IoU BCE over the dense generate_2dmask cells (CCALoss)."""
+    from vmrframe_tpu.losses import lossfun_loc2d
+
+    mc = _cca_cfg(cfg)
+    mask = jnp.asarray(dense_mask2d(mc.NUM_CLIPS))
+    return lossfun_loc2d(outputs["scores2d"], batch["label2ds"], mask,
+                         mc.LOSS.MIN_IOU, mc.LOSS.MAX_IOU,
+                         sample_mask=batch.get("sample_mask"))
+
+
+def cca_infer(outputs, batch, cfg):
+    mc = _cca_cfg(cfg)
+    mask = jnp.asarray(dense_mask2d(mc.NUM_CLIPS))
+    return infer_span_2d(outputs["scores2d"], mask, outputs["vmask"])
+
+
+from vmrframe_tpu.data.cca_batcher import CCABatcher  # noqa: E402
+
+register_model("CCA", loss_fn=cca_loss, infer_fn=cca_infer, batcher_cls=CCABatcher)(CCA)

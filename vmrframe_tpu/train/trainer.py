@@ -42,7 +42,11 @@ logger = logging.getLogger("vmrframe_tpu")
 class TrainState:
     """Minimal train state pytree: params + opt_state + step (+ optional
     ``extras`` for stateful losses, e.g. ActionFormer's EMA loss normalizer,
-    reference meta_archs.py:324-326,585-588)."""
+    reference meta_archs.py:324-326,585-588).
+
+    ``constants`` holds ALL non-param variable collections keyed by
+    collection name — frozen 'constants' (GloVe/concept tables) plus mutable
+    ones like 'batch_stats' (CCA's BatchNorm running stats)."""
 
     def __init__(self, params, constants, opt_state, step, extras=None):
         self.params = params
@@ -97,7 +101,7 @@ class Trainer:
             {"params": rng, "dropout": rng, "gumbel": rng}, example, True
         )
         params = variables["params"]
-        constants = variables.get("constants", {})
+        constants = {k: v for k, v in variables.items() if k != "params"}
         opt_state = self.tx.init(params)
         extras = self.entry.init_extras(self.cfg) if self.entry.init_extras else {}
         state = TrainState(params, constants, opt_state, jnp.zeros((), jnp.int32), extras)
@@ -114,24 +118,28 @@ class Trainer:
         step_rng = jax.random.fold_in(rng, state.step)
         d_rng, g_rng = jax.random.split(step_rng)
 
+        mutable = [k for k in state.constants if k != "constants"]
+
         def loss_fn(params):
-            outputs = model.apply(
-                {"params": params, "constants": state.constants},
-                batch,
-                False,
-                rngs={"dropout": d_rng, "gumbel": g_rng},
-            )
+            variables = {"params": params, **state.constants}
+            rngs = {"dropout": d_rng, "gumbel": g_rng}
+            if mutable:
+                outputs, mutated = model.apply(variables, batch, False, rngs=rngs, mutable=mutable)
+            else:
+                outputs, mutated = model.apply(variables, batch, False, rngs=rngs), {}
             if entry.stateful:
                 loss, new_extras = entry.loss_fn(outputs, batch, cfg, state.extras)
             else:
                 loss, new_extras = entry.loss_fn(outputs, batch, cfg), state.extras
-            return loss, (outputs, new_extras)
+            return loss, (outputs, new_extras, mutated)
 
-        (loss, (outputs, new_extras)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, (outputs, new_extras, mutated)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
         new_extras = jax.lax.stop_gradient(new_extras)
+        constants = {**state.constants, **jax.lax.stop_gradient(dict(mutated))}
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(params, state.constants, opt_state, state.step + 1, new_extras)
+        new_state = TrainState(params, constants, opt_state, state.step + 1, new_extras)
 
         props = entry.infer_fn(outputs, batch, cfg)
         from vmrframe_tpu.metrics import iou_device
@@ -141,7 +149,7 @@ class Trainer:
 
     def _eval_step(self, state: TrainState, batch) -> Dict[str, jnp.ndarray]:
         cfg, entry, model = self.cfg, self.entry, self.model
-        outputs = model.apply({"params": state.params, "constants": state.constants}, batch, True)
+        outputs = model.apply({"params": state.params, **state.constants}, batch, True)
         if entry.stateful:
             loss, _ = entry.loss_fn(outputs, batch, cfg, state.extras)
         else:
