@@ -51,8 +51,14 @@ def lossfun_match(
     vmask: jnp.ndarray,
     sample_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """NLL of log-gumbel-probs vs one-hot NER labels over valid frames, plus
-    an orthogonality penalty on the 4 label embeddings (models/loss.py:24-41).
+    """-Σ onehot(NER)·probs over valid frames + an orthogonality penalty on
+    the 4 label embeddings (models/loss.py:24-41).
+
+    NB the reference computes log(match_score) in the forward but its engines
+    pass the RAW gumbel-softmax probabilities here (SeqPAN.py:89-95 returns
+    'match_score'; train_engine_SeqPAN:178 feeds it straight in) — so the
+    trained objective is -probability, not NLL.  Callers pass match_score to
+    reproduce that.
     """
     m_onehot = jax.nn.one_hot(m_labels, 4, dtype=match_probs.dtype)
     loss_per_pos = -jnp.sum(m_onehot * match_probs, axis=-1)  # (B, L)

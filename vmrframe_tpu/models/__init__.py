@@ -7,3 +7,4 @@ import vmrframe_tpu.models.actionformer  # noqa: F401
 import vmrframe_tpu.models.backbone_actionformer  # noqa: F401
 import vmrframe_tpu.models.ban  # noqa: F401
 import vmrframe_tpu.models.cca  # noqa: F401
+import vmrframe_tpu.models.distill  # noqa: F401

@@ -277,7 +277,13 @@ class BAN(nn.Module):
         m = self.cfg.model
         L = m.vlen
         fuse = m.fuse_dim
-        vlens, tlens = batch["vlens"], batch["tlens"]
+        # derive lengths from masks when driven by a non-BAN batcher (the
+        # frozen-teacher path in BaseFast_BAN_PreTrain)
+        if "vlens" in batch:
+            vlens, tlens = batch["vlens"], batch["tlens"]
+        else:
+            vlens = jnp.maximum(jnp.sum(batch["vmasks"], axis=1).astype(jnp.int32), 1)
+            tlens = jnp.maximum(jnp.sum(batch["tmasks"], axis=1).astype(jnp.int32), 1)
         tmask = (jnp.arange(batch["words_ids"].shape[1])[None, :] < tlens[:, None]).astype(jnp.float32)
 
         _, clip_feature = BANVisualEncoder(m.dim, m.lstm_layer, name="visual_encoder")(
@@ -342,7 +348,10 @@ class BAN(nn.Module):
         prop_j = cells_j[sel_idx]  # end-1 index (e = j+1)
         bidx = jnp.arange(tmap.shape[0])[:, None]
         prop_feature = map2d[bidx, prop_i, prop_j]  # (B, P, F)
-        offset_gt = batch["start_end_offset"][bidx, prop_i, prop_j]  # (B, P, 2)
+        if "start_end_offset" in batch:
+            offset_gt = batch["start_end_offset"][bidx, prop_i, prop_j]  # (B, P, 2)
+        else:
+            offset_gt = jnp.zeros(prop_i.shape + (2,), jnp.float32)
         pred_score = tmap[bidx, prop_i, prop_j]
         pred_s_e = jnp.stack([prop_i, prop_j + 1], axis=-1)  # grid spans (s, e)
 

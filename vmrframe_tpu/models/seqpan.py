@@ -94,7 +94,7 @@ def seqpan_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray], 
     label1ds = batch["label1ds"]
     loc = lossfun_loc(outputs["slogits"], outputs["elogits"], label1ds[:, 0, :], label1ds[:, 1, :],
                       batch["vmasks"], sample_mask)
-    match = lossfun_match(outputs["match_probs"], outputs["label_embs"], batch["NER_labels"],
+    match = lossfun_match(outputs["match_score"], outputs["label_embs"], batch["NER_labels"],
                           batch["vmasks"], sample_mask)
     return loc + match
 

@@ -35,6 +35,11 @@ class ModelEntry:
     # loss_fn(outputs, batch, cfg, extras) -> (loss, new_extras)
     stateful: bool = False
     init_extras: Optional[Callable] = None  # (cfg) -> extras pytree
+    # distillation support: params whose dotted path matches frozen_filter
+    # get zero optimizer updates (frozen teachers); init_hook runs once after
+    # init_state to e.g. load pretrained teacher checkpoints into the state
+    frozen_filter: Optional[Callable] = None  # (path_str) -> bool
+    init_hook: Optional[Callable] = None  # (state, cfg, trainer) -> state
 
 
 def register_model(name: str, **kwargs):

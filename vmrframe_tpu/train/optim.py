@@ -45,16 +45,26 @@ def _decay_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(mask_from_path, params)
 
 
-def build_optimizer(cfg, num_train_steps: int) -> optax.GradientTransformation:
+def build_optimizer(cfg, num_train_steps: int, frozen_filter=None) -> optax.GradientTransformation:
+    """``frozen_filter('path/to/param') -> True`` pins that param (zero
+    updates) — the equivalent of the reference's requires_grad=False teacher
+    freezing (e.g. OneTeacher_SoftLabel.py:42-44)."""
     schedule = linear_warmup_decay(cfg.train.lr, num_train_steps, cfg.train.warmup_proportion)
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.train.clip_norm),
-        optax.adamw(
-            learning_rate=schedule,
-            b1=0.9,
-            b2=0.999,
-            eps=1e-8,
-            weight_decay=0.01,
-            mask=_decay_mask,
-        ),
+    adamw = optax.adamw(
+        learning_rate=schedule,
+        b1=0.9,
+        b2=0.999,
+        eps=1e-8,
+        weight_decay=0.01,
+        mask=_decay_mask,
     )
+    if frozen_filter is not None:
+        def labels(params):
+            def lab(path, _):
+                joined = "/".join(str(getattr(k, "key", k)) for k in path)
+                return "frozen" if frozen_filter(joined) else "train"
+
+            return jax.tree_util.tree_map_with_path(lab, params)
+
+        adamw = optax.multi_transform({"train": adamw, "frozen": optax.set_to_zero()}, labels)
+    return optax.chain(optax.clip_by_global_norm(cfg.train.clip_norm), adamw)

@@ -87,7 +87,8 @@ class Trainer:
         self.entry = entry or get_model_entry(cfg.model.name)
         self.model = self.entry.model_cls(cfg=cfg, derived=derived, word_vectors=word_vectors)
         self.mesh = mesh or make_mesh()
-        self.tx = build_optimizer(cfg, max(1, derived.num_train_steps))
+        self.tx = build_optimizer(cfg, max(1, derived.num_train_steps),
+                                  frozen_filter=self.entry.frozen_filter)
 
         self._repl = NamedSharding(self.mesh, P())
         self._batch_shard = NamedSharding(self.mesh, P("data"))
@@ -105,6 +106,8 @@ class Trainer:
         opt_state = self.tx.init(params)
         extras = self.entry.init_extras(self.cfg) if self.entry.init_extras else {}
         state = TrainState(params, constants, opt_state, jnp.zeros((), jnp.int32), extras)
+        if self.entry.init_hook is not None:
+            state = self.entry.init_hook(state, self.cfg, self)
         return jax.device_put(state, self._repl)
 
     # ---------- steps ----------
