@@ -1,0 +1,146 @@
+"""Gaussian-weighted transformer decoder for CPL (reference models/cpl_lib.py).
+
+Post-norm decoder layers whose attention probabilities are reweighted by a
+proposal Gaussian AFTER the softmax and renormalized
+(cpl_lib.py:189-195) — the mechanism that focuses reconstruction on one
+temporal proposal.  Causal (future) masking on the target self-attention
+matches cpl_lib.py:302-326.  The fairseq softmax dependency is plain
+jax.nn.softmax here.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vmrframe_tpu.layers.basic import torch_linear_init
+
+
+class GaussMultiheadAttention(nn.Module):
+    """MHA with optional post-softmax Gaussian reweighting.
+
+    Parameters follow the fairseq layout (joint in_proj (3E, E) xavier-init)
+    so checkpoints convert directly.
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, query, key, value, key_padding_mask=None, attn_mask=None,
+                 gauss_weight=None, deterministic: bool = True):
+        B, Tq, E = query.shape
+        Tk = key.shape[1]
+        H = self.num_heads
+        hd = E // H
+
+        in_proj_w = self.param("in_proj_weight", nn.initializers.xavier_uniform(), (3 * E, E))
+        in_proj_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * E,))
+        q = query @ in_proj_w[:E].T + in_proj_b[:E]
+        k = key @ in_proj_w[E : 2 * E].T + in_proj_b[E : 2 * E]
+        v = value @ in_proj_w[2 * E :].T + in_proj_b[2 * E :]
+        q = q * (hd**-0.5)
+
+        q = q.reshape(B, Tq, H, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, Tk, H, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, Tk, H, hd).transpose(0, 2, 1, 3)
+
+        w = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+        if attn_mask is not None:  # (Tq, Tk) additive (-inf above diagonal)
+            w = w + attn_mask[None, None]
+        if key_padding_mask is not None:  # (B, Tk), 1 = PAD
+            w = jnp.where(key_padding_mask[:, None, None, :] == 1, -1e30, w)
+        w = jax.nn.softmax(w, axis=-1)
+        if gauss_weight is not None:  # (B, Tk)
+            gw = gauss_weight[:, None, None, :]
+            w = w * (gw + 1e-10)
+            w = w / jnp.sum(w, axis=-1, keepdims=True)
+        w = nn.Dropout(self.dropout)(w, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", w, v).transpose(0, 2, 1, 3).reshape(B, Tq, E)
+
+        out_w = self.param("out_proj_kernel", nn.initializers.xavier_uniform(), (E, E))
+        out_b = self.param("out_proj_bias", nn.initializers.zeros, (E,))
+        out = out @ out_w + out_b
+        return out, jnp.mean(w, axis=1)
+
+
+def _ln(x, scale, bias, eps=1e-5):
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), -1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+class TransformerDecoderLayer(nn.Module):
+    d_model: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, pad_mask, encoder_out=None, encoder_pad_mask=None,
+                 self_attn_mask=None, src_gauss_weight=None, tgt_gauss_weight=None,
+                 deterministic: bool = True):
+        D = self.d_model
+        drop = lambda t: nn.Dropout(self.dropout)(t, deterministic=deterministic)
+
+        res = x
+        x, weight = GaussMultiheadAttention(D, self.num_heads, self.dropout, name="self_attn")(
+            x, x, x, pad_mask, self_attn_mask, tgt_gauss_weight, deterministic)
+        x = _ln(res + drop(x),
+                self.param("self_ln_scale", nn.initializers.ones, (D,)),
+                self.param("self_ln_bias", nn.initializers.zeros, (D,)))
+
+        if encoder_out is not None:
+            res = x
+            x, weight = GaussMultiheadAttention(D, self.num_heads, self.dropout, name="encoder_attn")(
+                x, encoder_out, encoder_out, encoder_pad_mask, None, src_gauss_weight, deterministic)
+            x = _ln(res + drop(x),
+                    self.param("enc_ln_scale", nn.initializers.ones, (D,)),
+                    self.param("enc_ln_bias", nn.initializers.zeros, (D,)))
+
+        res = x
+        w1 = self.param("fc1_kernel", torch_linear_init, (D, D * 2))
+        b1 = self.param("fc1_bias", nn.initializers.zeros, (D * 2,))
+        w2 = self.param("fc2_kernel", torch_linear_init, (D * 2, D))
+        b2 = self.param("fc2_bias", nn.initializers.zeros, (D,))
+        x = jax.nn.relu(x @ w1 + b1) @ w2 + b2
+        x = _ln(res + drop(x),
+                self.param("final_ln_scale", nn.initializers.ones, (D,)),
+                self.param("final_ln_bias", nn.initializers.zeros, (D,)))
+        return x, weight
+
+
+class TransformerDecoder(nn.Module):
+    """Stack with causal masking on the target (cpl_lib.py:293-326).
+
+    ``src_mask``/``tgt_mask`` are {0,1} VALID masks like the rest of the
+    framework; the reference flips them to pad masks internally — so do we.
+    """
+
+    num_layers: int
+    d_model: int
+    num_heads: int
+    dropout: float = 0.0
+    future_mask: bool = True
+
+    @nn.compact
+    def __call__(self, src, src_mask, tgt, tgt_mask, src_gauss_weight=None,
+                 tgt_gauss_weight=None, deterministic: bool = True):
+        T = tgt.shape[1]
+        attn_mask = None
+        if self.future_mask:
+            attn_mask = jnp.triu(jnp.full((T, T), -jnp.inf), k=1)
+        pad_tgt = None if tgt_mask is None else 1 - tgt_mask
+        pad_src = None if src_mask is None else 1 - src_mask
+        x = tgt
+        weight = None
+        for i in range(self.num_layers):
+            x, weight = TransformerDecoderLayer(
+                self.d_model, self.num_heads, self.dropout, name=f"layer_{i}"
+            )(x, pad_tgt, src, pad_src, attn_mask, src_gauss_weight, tgt_gauss_weight,
+              deterministic)
+        return x, weight

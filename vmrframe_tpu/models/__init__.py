@@ -8,3 +8,5 @@ import vmrframe_tpu.models.backbone_actionformer  # noqa: F401
 import vmrframe_tpu.models.ban  # noqa: F401
 import vmrframe_tpu.models.cca  # noqa: F401
 import vmrframe_tpu.models.distill  # noqa: F401
+import vmrframe_tpu.models.cpl  # noqa: F401
+import vmrframe_tpu.models.sentence_variants  # noqa: F401
