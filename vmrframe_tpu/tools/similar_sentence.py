@@ -41,8 +41,6 @@ def build_similar_sentence_dataset(records, thresh: float = 0.98, encoder=None):
     next_id = len(records)
     for i, record in enumerate(records):
         for j in np.nonzero(sim[i] >= thresh)[0]:
-            if sentences[int(j)] == record[3]:
-                continue  # identical text adds nothing
             vid, duration, span = record[0], record[1], record[2]
             out.append([vid, duration, span, sentences[int(j)], next_id])
             next_id += 1
