@@ -29,15 +29,29 @@ def main():
 
     from __graft_entry__ import _build, _make_cfg
 
+    import jax.numpy as jnp
+
     batch_size = 128
     cfg = _make_cfg(batch_size=batch_size)
     model, entry, derived, batch, _ = _build(cfg, batch_size=batch_size)
     rng = jax.random.PRNGKey(0)
     variables = model.init({"params": rng, "dropout": rng, "gumbel": rng}, batch, True)
 
+    def to_bf16(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x,
+            tree,
+        )
+
     @jax.jit
     def eval_step(variables, batch):
-        outputs = model.apply(variables, batch, True)
+        # serving precision: bf16 on the MXU, span decoding back in f32
+        outputs = model.apply(to_bf16(variables), to_bf16(batch), True)
+        outputs = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32) if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x,
+            outputs,
+        )
         return entry.infer_fn(outputs, batch, cfg)
 
     device = jax.devices()[0]
@@ -47,7 +61,7 @@ def main():
     # warmup / compile
     eval_step(variables, batch)[0].block_until_ready()
 
-    n_iters = 50
+    n_iters = 200
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = eval_step(variables, batch)

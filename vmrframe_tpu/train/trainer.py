@@ -89,6 +89,11 @@ class Trainer:
         self.mesh = mesh or make_mesh()
         self.tx = build_optimizer(cfg, max(1, derived.num_train_steps),
                                   frozen_filter=self.entry.frozen_filter)
+        # mixed precision: params stay f32; forward runs in compute_dtype
+        # (bf16 on the MXU), losses/metrics upcast back to f32
+        self.compute_dtype = {
+            "float32": jnp.float32, "bfloat16": jnp.bfloat16,
+        }[cfg.train.get("compute_dtype", "float32")]
 
         self._repl = NamedSharding(self.mesh, P())
         self._batch_shard = NamedSharding(self.mesh, P("data"))
@@ -116,6 +121,27 @@ class Trainer:
         arrays = {k: v for k, v in batch.items() if k != "num_valid"}
         return jax.device_put(arrays, self._batch_shard)
 
+    def _cast_for_compute(self, tree):
+        if self.compute_dtype == jnp.float32:
+            return tree
+        dt = self.compute_dtype
+
+        def cast(x):
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+                return x.astype(dt)
+            return x
+
+        return jax.tree_util.tree_map(cast, tree)
+
+    @staticmethod
+    def _upcast_outputs(outputs):
+        def up(x):
+            if hasattr(x, "dtype") and x.dtype == jnp.bfloat16:
+                return x.astype(jnp.float32)
+            return x
+
+        return jax.tree_util.tree_map(up, outputs)
+
     def _train_step(self, state: TrainState, batch, rng) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         cfg, entry, model = self.cfg, self.entry, self.model
         step_rng = jax.random.fold_in(rng, state.step)
@@ -124,12 +150,14 @@ class Trainer:
         mutable = [k for k in state.constants if k != "constants"]
 
         def loss_fn(params):
-            variables = {"params": params, **state.constants}
+            variables = self._cast_for_compute({"params": params, **state.constants})
+            cbatch = self._cast_for_compute(batch)
             rngs = {"dropout": d_rng, "gumbel": g_rng}
             if mutable:
-                outputs, mutated = model.apply(variables, batch, False, rngs=rngs, mutable=mutable)
+                outputs, mutated = model.apply(variables, cbatch, False, rngs=rngs, mutable=mutable)
             else:
-                outputs, mutated = model.apply(variables, batch, False, rngs=rngs), {}
+                outputs, mutated = model.apply(variables, cbatch, False, rngs=rngs), {}
+            outputs = self._upcast_outputs(outputs)
             if entry.stateful:
                 loss, new_extras = entry.loss_fn(outputs, batch, cfg, state.extras)
             else:
@@ -139,7 +167,8 @@ class Trainer:
         (loss, (outputs, new_extras, mutated)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
         new_extras = jax.lax.stop_gradient(new_extras)
-        constants = {**state.constants, **jax.lax.stop_gradient(dict(mutated))}
+        mutated = self._upcast_outputs(jax.lax.stop_gradient(dict(mutated)))
+        constants = {**state.constants, **mutated}
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params, constants, opt_state, state.step + 1, new_extras)
@@ -152,7 +181,9 @@ class Trainer:
 
     def _eval_step(self, state: TrainState, batch) -> Dict[str, jnp.ndarray]:
         cfg, entry, model = self.cfg, self.entry, self.model
-        outputs = model.apply({"params": state.params, **state.constants}, batch, True)
+        variables = self._cast_for_compute({"params": state.params, **state.constants})
+        outputs = model.apply(variables, self._cast_for_compute(batch), True)
+        outputs = self._upcast_outputs(outputs)
         if entry.stateful:
             loss, _ = entry.loss_fn(outputs, batch, cfg, state.extras)
         else:
