@@ -96,6 +96,12 @@ class DualMultiAttention(nn.Module):
     dim: int
     num_heads: int
     droprate: float = 0.0
+    # Fused Pallas dual-attention kernel (kernels/attention.py).  Measured on
+    # v5e at SeqPAN's shapes (B=128, H=4, L=64, hd=32): XLA's own fusion wins
+    # (~1.0M q/s vs ~0.47M with the per-(b,h)-program kernel — tiles this
+    # small underutilize the MXU), so the kernel is opt-in for now; it's the
+    # right tool once L grows past VMEM-friendly fusion sizes.
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, from_tensor, to_tensor, from_mask, to_mask, deterministic: bool = True):
@@ -112,18 +118,28 @@ class DualMultiAttention(nn.Module):
         s_attn_mask = attention_mask_2d(from_mask, from_mask)[:, None]
         x_attn_mask = attention_mask_2d(from_mask, to_mask)[:, None]
 
-        s_scores = jnp.einsum("bhld,bhmd->bhlm", query, f_key) / math.sqrt(head_size)
-        s_scores = s_scores + (1.0 - s_attn_mask) * -1e30
-        s_probs = drop(jax.nn.softmax(s_scores, axis=-1))
+        from vmrframe_tpu.kernels.attention import fused_dual_attention, pallas_supported
 
-        x_scores = jnp.einsum("bhld,bhmd->bhlm", query, t_key) / math.sqrt(head_size)
-        x_scores = x_scores + (1.0 - x_attn_mask) * -1e30
-        x_probs = drop(jax.nn.softmax(x_scores, axis=-1))
+        no_dropout = deterministic or self.droprate == 0.0
+        if self.use_pallas and no_dropout and pallas_supported():
+            s_val_h, x_val_h = fused_dual_attention(
+                query, f_key, f_value, t_key, t_value,
+                s_attn_mask[:, 0], x_attn_mask[:, 0],
+            )
+        else:
+            s_scores = jnp.einsum("bhld,bhmd->bhlm", query, f_key) / math.sqrt(head_size)
+            s_scores = s_scores + (1.0 - s_attn_mask) * -1e30
+            s_probs = drop(jax.nn.softmax(s_scores, axis=-1))
 
-        s_value = _merge_heads(jnp.einsum("bhlm,bhmd->bhld", s_probs, f_value))
-        s_value = Conv1D(self.dim, name="s_dense")(s_value)
-        x_value = _merge_heads(jnp.einsum("bhlm,bhmd->bhld", x_probs, t_value))
-        x_value = Conv1D(self.dim, name="x_dense")(x_value)
+            x_scores = jnp.einsum("bhld,bhmd->bhlm", query, t_key) / math.sqrt(head_size)
+            x_scores = x_scores + (1.0 - x_attn_mask) * -1e30
+            x_probs = drop(jax.nn.softmax(x_scores, axis=-1))
+
+            s_val_h = jnp.einsum("bhlm,bhmd->bhld", s_probs, f_value)
+            x_val_h = jnp.einsum("bhlm,bhmd->bhld", x_probs, t_value)
+
+        s_value = Conv1D(self.dim, name="s_dense")(_merge_heads(s_val_h))
+        x_value = Conv1D(self.dim, name="x_dense")(_merge_heads(x_val_h))
 
         s_score = Conv1D(self.dim, name="s_gate")(s_value)
         x_score = Conv1D(self.dim, name="x_gate")(x_value)
