@@ -38,6 +38,39 @@ def linear_resize(x: np.ndarray, size: int) -> np.ndarray:
     return (x[lo] * (1.0 - w) + x[hi] * w).astype(np.float32)
 
 
+def remove_duplicate_annotations(events, tol: float = 1e-3):
+    """Drop duplicate (segment, label) annotations (the reference's unused
+    fuller ActionFormer dataset, utils/ActionFormerDataset.py:12-30)."""
+    out = []
+    for event in events:
+        s, e, label = event["segment"][0], event["segment"][1], event.get("label_id", 0)
+        if not any(abs(s - p["segment"][0]) <= tol and abs(e - p["segment"][1]) <= tol
+                   and label == p.get("label_id", 0) for p in out):
+            out.append(event)
+    return out
+
+
+def truncate_feats(feats: np.ndarray, segment, max_seq_len: int, trunc_thresh: float,
+                   rng: random.Random, max_num_trials: int = 200):
+    """Random-crop features to max_seq_len keeping the gt segment mostly
+    inside (utils/ActionFormerDataset.py truncate_feats semantics): retry
+    crops until the overlap ratio with the (grid-coord) segment is at least
+    trunc_thresh.  Returns (cropped_feats, shifted_segment)."""
+    T = feats.shape[0]
+    if T <= max_seq_len:
+        return feats, segment
+    s, e = segment
+    seg_len = max(e - s, 1e-4)
+    for _ in range(max_num_trials):
+        st = rng.randint(0, T - max_seq_len)
+        en = st + max_seq_len
+        inter = max(0.0, min(e, en) - max(s, st))
+        if inter / seg_len >= trunc_thresh:
+            return feats[st:en], (max(s - st, 0.0), min(e - st, float(max_seq_len)))
+    st = int(np.clip(0.5 * (s + e) - max_seq_len / 2, 0, T - max_seq_len))
+    return feats[st : st + max_seq_len], (max(s - st, 0.0), min(e - st, float(max_seq_len)))
+
+
 class ActionFormerBatcher(Batcher):
     def __init__(self, dataset, feature_store, cfg, derived, loadertype, batch_size=None):
         super().__init__(dataset, feature_store, cfg, derived, loadertype, batch_size)
