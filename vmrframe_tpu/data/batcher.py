@@ -30,13 +30,23 @@ class Batcher:
     """Assemble fixed-shape numpy batches from records + a feature store."""
 
     def __init__(self, dataset: List[dict], feature_store, cfg, derived, loadertype: str,
-                 batch_size: Optional[int] = None):
+                 batch_size: Optional[int] = None, num_workers: Optional[int] = None):
         self.dataset = dataset
         self.features = feature_store
         self.cfg = cfg
         self.derived = derived
         self.loadertype = loadertype
         self.batch_size = batch_size or cfg.train.batch_size
+        # per-sample numpy work (augment + resample) parallelizes across a
+        # thread pool — numpy releases the GIL on the big reductions
+        if num_workers is None:
+            num_workers = int(cfg.train.get("num_workers", 0)) if "train" in cfg else 0
+        self.num_workers = num_workers
+        self._pool = None
+        if self.num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
         self.vlen = cfg.model.vlen
         self.tlen = cfg.model.get("tlen", 30)  # some configs omit tlen (e.g. CCA.yaml)
         self.vdim = cfg.model.vdim
@@ -101,9 +111,19 @@ class Batcher:
         se_fracs = np.zeros((B, 2), dtype=np.float32)
         sample_mask = np.zeros((B,), dtype=np.float32)
 
+        if self._pool is not None:
+            # deterministic per-sample rngs drawn from the epoch rng, then
+            # fan the numpy-heavy work across the pool
+            seeds = [rng.randrange(2**32) for _ in indices]
+            results = list(self._pool.map(
+                lambda args: self._get_vfeat_label(self.dataset[args[0]], random.Random(args[1])),
+                zip(indices, seeds)))
+        else:
+            results = [self._get_vfeat_label(self.dataset[idx], rng) for idx in indices]
+
         for slot, idx in enumerate(indices):
             record = self.dataset[idx]
-            vfeat, label = self._get_vfeat_label(record, rng)
+            vfeat, label = results[slot]
             cur_len = vfeat.shape[0]
             sidx, eidx = label_span_from_curve(label)
             vfeats[slot, :cur_len] = vfeat
