@@ -59,6 +59,16 @@ class Batcher:
         self.sample_type = dp.get("sample_type", "truncation") if dp else "truncation"
         self._resample_cache: Dict[str, np.ndarray] = {}
         self._aug_is_identity = set(self.aug.keys()) == {"unchanged"}
+        # on-device pipeline (ops/input_pipeline.py): ship padded raw
+        # features; augmentation/resampling/labels run inside the jitted step.
+        self.device_pipeline = bool(dp.get("device_pipeline", False)) if dp else False
+        if self.device_pipeline and (len(self.aug) != 1 or self.sample_type == "original"):
+            self.device_pipeline = False  # multi-aug choice / 'original' stay on host
+        self._max_raw_len = 0
+        self._batch_counter = 0
+        if self.device_pipeline:
+            lens = feature_store.lengths()
+            self._max_raw_len = max(lens[self.dataset[i]["vid"]] for i in range(len(dataset)))
 
     def __len__(self) -> int:
         return (len(self.dataset) + self.batch_size - 1) // self.batch_size
@@ -96,7 +106,46 @@ class Batcher:
         assert not np.all(label == 0), f"empty label after sampling: {vid}"
         return vfeat, label
 
+    def _make_raw_batch(self, indices: List[int], rng: random.Random) -> Dict[str, np.ndarray]:
+        """Device-pipeline batch: padded raw features + metadata only."""
+        B, tlen, clen = self.batch_size, self.tlen, self.char_len
+        max_raw = self._max_raw_len
+        raw = np.zeros((B, max_raw, self.vdim), dtype=np.float32)
+        raw_lens = np.ones((B,), dtype=np.int32)
+        words_ids = np.zeros((B, tlen), dtype=np.int32)
+        char_ids = np.zeros((B, tlen, clen), dtype=np.int32)
+        se_times = np.zeros((B, 2), dtype=np.float32)
+        se_fracs = np.zeros((B, 2), dtype=np.float32)
+        sample_mask = np.zeros((B,), dtype=np.float32)
+        for slot, idx in enumerate(indices):
+            record = self.dataset[idx]
+            f = self.features[record["vid"]]
+            raw[slot, : f.shape[0]] = f
+            raw_lens[slot] = f.shape[0]
+            wids = record["wids"][:tlen]
+            words_ids[slot, : len(wids)] = wids
+            for wi, cids in enumerate(record["cids"][:tlen]):
+                char_ids[slot, wi, : len(cids[:clen])] = cids[:clen]
+            se_times[slot] = record["se_time"]
+            se_fracs[slot] = record["se_frac"]
+            sample_mask[slot] = 1.0
+        self._batch_counter += 1
+        return {
+            "raw_vfeats": raw,
+            "raw_lens": raw_lens,
+            "words_ids": words_ids,
+            "char_ids": char_ids,
+            "tmasks": (words_ids != 0).astype(np.float32),
+            "se_times": se_times,
+            "se_fracs": se_fracs,
+            "sample_mask": sample_mask,
+            "pipeline_seed": np.int32(rng.randrange(2**31)),
+            "num_valid": np.int32(len(indices)),
+        }
+
     def make_batch(self, indices: List[int], rng: random.Random) -> Dict[str, np.ndarray]:
+        if self.device_pipeline:
+            return self._make_raw_batch(indices, rng)
         B = self.batch_size
         n = len(indices)
         vlen, tlen, clen = self.vlen, self.tlen, self.char_len

@@ -103,6 +103,7 @@ class Trainer:
 
     def init_state(self, rng: jax.Array, example_batch: Dict[str, np.ndarray]) -> TrainState:
         example = {k: jnp.asarray(v) for k, v in example_batch.items() if k != "num_valid"}
+        example = self._maybe_device_pipeline(example)
         variables = self.model.init(
             {"params": rng, "dropout": rng, "gumbel": rng}, example, True
         )
@@ -119,7 +120,32 @@ class Trainer:
 
     def _shard_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
         arrays = {k: v for k, v in batch.items() if k != "num_valid"}
-        return jax.device_put(arrays, self._batch_shard)
+        shardings = {k: (self._batch_shard if np.ndim(v) >= 1 else self._repl)
+                     for k, v in arrays.items()}
+        return {k: jax.device_put(v, shardings[k]) for k, v in arrays.items()}
+
+    def _maybe_device_pipeline(self, batch):
+        """Run the on-device augment/resample/label stage when the batcher
+        shipped raw features (ops/input_pipeline.py)."""
+        if "raw_vfeats" not in batch:
+            return batch
+        from vmrframe_tpu.ops.input_pipeline import device_augment_resample
+
+        dp = self.cfg.dataprocess
+        aug = dp.video_augmentation
+        aug_keys = list(aug.keys())
+        aug_mode = aug_keys[0]
+        erosion_p = float(aug.get("erosion") or 0.05)
+        out = device_augment_resample(
+            batch["raw_vfeats"], batch["raw_lens"], batch["se_fracs"], batch["pipeline_seed"],
+            vlen=self.cfg.model.vlen, aug_mode=aug_mode, erosion_p=erosion_p,
+            sample_type=dp.sample_type,
+            label_threshold=float(dp.get("label_threshold", 0.01)),
+        )
+        batch = {k: v for k, v in batch.items()
+                 if k not in ("raw_vfeats", "raw_lens", "pipeline_seed")}
+        batch.update(out)
+        return batch
 
     def _cast_for_compute(self, tree):
         if self.compute_dtype == jnp.float32:
@@ -144,6 +170,7 @@ class Trainer:
 
     def _train_step(self, state: TrainState, batch, rng) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         cfg, entry, model = self.cfg, self.entry, self.model
+        batch = self._maybe_device_pipeline(batch)
         step_rng = jax.random.fold_in(rng, state.step)
         d_rng, g_rng = jax.random.split(step_rng)
 
@@ -181,6 +208,7 @@ class Trainer:
 
     def _eval_step(self, state: TrainState, batch) -> Dict[str, jnp.ndarray]:
         cfg, entry, model = self.cfg, self.entry, self.model
+        batch = self._maybe_device_pipeline(batch)
         variables = self._cast_for_compute({"params": state.params, **state.constants})
         outputs = model.apply(variables, self._cast_for_compute(batch), True)
         outputs = self._upcast_outputs(outputs)
