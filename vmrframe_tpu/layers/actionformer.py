@@ -294,6 +294,58 @@ class ConvTransformerBackbone(nn.Module):
         return out_feats, out_masks
 
 
+class ConvBlock(nn.Module):
+    """ResNet-style basic block with optional stride (reference
+    blocks.py:735-785): strided conv -> conv, 1×1 strided downsample skip."""
+
+    n_embd: int
+    kernel_size: int = 3
+    n_ds_stride: int = 1
+    expansion_factor: int = 2
+
+    @nn.compact
+    def __call__(self, x, mask):
+        width = self.n_embd * self.expansion_factor
+        out, out_mask = MaskedConv1D(width, self.kernel_size, self.n_ds_stride,
+                                     name="conv1")(x, mask)
+        out = jax.nn.relu(out)
+        out, out_mask = MaskedConv1D(self.n_embd, self.kernel_size, 1, name="conv2")(out, out_mask)
+        if self.n_ds_stride > 1:
+            identity, _ = MaskedConv1D(self.n_embd, 1, self.n_ds_stride, name="downsample")(x, mask)
+        else:
+            identity = x
+        return jax.nn.relu(out + identity), out_mask
+
+
+class ConvBackbone(nn.Module):
+    """Conv-only pyramid backbone (reference backbones.py:166-265): embedding
+    convs -> stem ConvBlocks -> stride-2 branch ConvBlocks."""
+
+    n_in: int
+    n_embd: int
+    n_embd_ks: int
+    arch: Tuple[int, int, int] = (2, 2, 5)
+    scale_factor: int = 2
+    with_ln: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        for idx in range(self.arch[0]):
+            x, mask = MaskedConv1D(self.n_embd, self.n_embd_ks, 1,
+                                   use_bias=(not self.with_ln), name=f"embd_{idx}")(x, mask)
+            if self.with_ln:
+                x = ChannelLayerNorm(name=f"embd_norm_{idx}")(x)
+            x = jax.nn.relu(x)
+        for idx in range(self.arch[1]):
+            x, mask = ConvBlock(self.n_embd, 3, 1, name=f"stem_{idx}")(x, mask)
+        out_feats, out_masks = [x], [mask]
+        for idx in range(self.arch[2]):
+            x, mask = ConvBlock(self.n_embd, 3, self.scale_factor, name=f"branch_{idx}")(x, mask)
+            out_feats.append(x)
+            out_masks.append(mask)
+        return out_feats, out_masks
+
+
 class FPNIdentity(nn.Module):
     """Per-level channel-LN (reference necks.py:94-143)."""
 

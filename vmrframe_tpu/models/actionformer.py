@@ -59,22 +59,31 @@ class ActionFormer(nn.Module):
         train_cfg = af.train_cfg
 
         feats, masks = batch["feats"], batch["masks"]
-        fpn_feats, fpn_masks = ConvTransformerBackbone(
-            n_in=af.input_dim,
-            n_embd=af.embd_dim,
-            n_head=af.n_head,
-            n_embd_ks=af.embd_kernel_size,
-            max_len=af.max_seq_len,
-            arch=arch,
-            mha_win_size=win_list,
-            scale_factor=af.scale_factor,
-            with_ln=af.embd_with_ln,
-            attn_pdrop=0.0,
-            proj_pdrop=train_cfg.dropout,
-            path_pdrop=train_cfg.droppath,
-            use_abs_pe=af.use_abs_pe,
-            name="backbone",
-        )(feats, masks, deterministic)
+        if af.backbone_type == "conv":
+            from vmrframe_tpu.layers.actionformer import ConvBackbone
+
+            fpn_feats, fpn_masks = ConvBackbone(
+                n_in=af.input_dim, n_embd=af.embd_dim, n_embd_ks=af.embd_kernel_size,
+                arch=arch, scale_factor=af.scale_factor, with_ln=af.embd_with_ln,
+                name="backbone",
+            )(feats, masks, deterministic)
+        else:
+            fpn_feats, fpn_masks = ConvTransformerBackbone(
+                n_in=af.input_dim,
+                n_embd=af.embd_dim,
+                n_head=af.n_head,
+                n_embd_ks=af.embd_kernel_size,
+                max_len=af.max_seq_len,
+                arch=arch,
+                mha_win_size=win_list,
+                scale_factor=af.scale_factor,
+                with_ln=af.embd_with_ln,
+                attn_pdrop=0.0,
+                proj_pdrop=train_cfg.dropout,
+                path_pdrop=train_cfg.droppath,
+                use_abs_pe=af.use_abs_pe,
+                name="backbone",
+            )(feats, masks, deterministic)
         fpn_feats, fpn_masks = FPNIdentity(num_levels, with_ln=af.fpn_with_ln, name="neck")(
             fpn_feats, fpn_masks
         )
