@@ -52,6 +52,16 @@ def setup_logger(ckpt_dir: str, title: str) -> logging.Logger:
 def main(argv=None):
     args = parse_args(argv)
 
+    # honor JAX_PLATFORMS even on hosts whose sitecustomize pins another
+    # backend (e.g. the axon TPU tunnel overrides the env var after import)
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
     from vmrframe_tpu.config import Derived, load_config
     from vmrframe_tpu.data.batcher import Batcher
     from vmrframe_tpu.data.datasets import load_dataset
@@ -106,7 +116,7 @@ def main(argv=None):
         return {"r1i3": r1i3, "r1i5": r1i5, "r1i7": r1i7, "miou": mi}
 
     result = fit(trainer, train_batcher, test_batcher, rng_seed=args.seed,
-                 ckpt_dir=ckpt_dir, log=logger.info)
+                 ckpt_dir=ckpt_dir, log=logger.info, resume_from=args.checkpoint)
     logger.info(f"best mIoU: {result['best_miou']:.2f}")
     return result
 

@@ -284,40 +284,65 @@ class Trainer:
 
 
 def fit(trainer: Trainer, train_batcher, test_batcher, rng_seed: int = 1234,
-        ckpt_dir: Optional[str] = None, log=print) -> Dict[str, Any]:
+        ckpt_dir: Optional[str] = None, log=print,
+        resume_from: Optional[str] = None) -> Dict[str, Any]:
     """Full training run mirroring main.py:75-153: per-epoch train pass with
-    train metrics, then a full test pass, best checkpoint by test mIoU."""
+    train metrics, then a full test pass, best checkpoint by test mIoU.
+    ``resume_from`` restores a prior checkpoint (params + opt state/step when
+    present) before training, like the reference's --checkpoint
+    (main.py:26-28)."""
     from vmrframe_tpu.data.batcher import BatchPrefetcher
 
     cfg, derived = trainer.cfg, trainer.derived
     rng = jax.random.PRNGKey(rng_seed)
     first = next(train_batcher.epoch(seed=rng_seed))
     state = trainer.init_state(rng, first)
+    if resume_from:
+        from vmrframe_tpu.train.checkpoints import restore_into_state
+
+        state = jax.device_put(restore_into_state(resume_from, state), trainer._repl)
+        log(f"resumed from {resume_from} at step {int(state.step)}")
+
+    import contextlib
+    import os
+
+    profile_dir = os.environ.get("VMRFRAME_TPU_PROFILE_DIR")
 
     best_miou, best_path = -1.0, None
     history = []
     for epoch in range(cfg.train.epochs):
         t_epoch = time.time()
-        batches = BatchPrefetcher(train_batcher.epoch(seed=rng_seed + epoch))
-        state, ious, lossmeter, secs = trainer.run_train_epoch(state, batches, rng)
+        # optional jax profiler trace for one epoch (the replacement for the
+        # reference's cuda.synchronize timing brackets, SeqPAN.py:51-87)
+        trace = (jax.profiler.trace(profile_dir) if profile_dir and epoch == 0
+                 else contextlib.nullcontext())
+        with trace:
+            batches = BatchPrefetcher(train_batcher.epoch(seed=rng_seed + epoch))
+            state, ious, lossmeter, secs = trainer.run_train_epoch(state, batches, rng)
+        n_train = train_batcher.num_samples
         r1i3, r1i5, _, r1i7, mi = get_i345_mi(ious)
         log(f"TRAIN {epoch + 1:2d}|{cfg.train.epochs:2d} R1I3: {r1i3:.2f}\tR1I5: {r1i5:.2f}\t"
             f"R1I7: {r1i7:.2f}\tmIoU: {mi:.2f}\tloss: {lossmeter.avg:.4f}\t"
-            f"step_s: {secs / max(1, len(train_batcher)):.4f}")
+            f"step_s: {secs / max(1, len(train_batcher)):.4f}\t"
+            f"samples/s: {n_train / max(secs, 1e-9):.0f}")
 
         batches = BatchPrefetcher(test_batcher.epoch(seed=0))
         ious, lossmeter, secs = trainer.run_eval_epoch(state, batches)
         r1i3, r1i5, _, r1i7, mi = get_i345_mi(ious)
         log(f"TEST  {epoch + 1:2d}|{cfg.train.epochs:2d} R1I3: {r1i3:.2f}\tR1I5: {r1i5:.2f}\t"
             f"R1I7: {r1i7:.2f}\tmIoU: {mi:.2f}\tloss: {lossmeter.avg:.4f}\t"
+            f"eval_qps: {test_batcher.num_samples / max(secs, 1e-9):.0f}\t"
             f"epoch_s: {time.time() - t_epoch:.1f}")
         history.append({"epoch": epoch + 1, "r1i3": r1i3, "r1i5": r1i5, "r1i7": r1i7, "miou": mi})
 
+        if ckpt_dir:
+            from vmrframe_tpu.train.checkpoints import save_checkpoint
+
+            # rolling full checkpoint (params + opt state) for exact resume
+            save_checkpoint(ckpt_dir, state, name=f"last_{cfg.model.name}", full=True)
         if mi > best_miou:
             best_miou = mi
             if ckpt_dir:
-                from vmrframe_tpu.train.checkpoints import save_checkpoint
-
                 best_path = save_checkpoint(ckpt_dir, state, name=f"best_{cfg.model.name}")
                 log(f"*** saved best checkpoint to {best_path}, mIoU={mi:.2f} ***")
 
