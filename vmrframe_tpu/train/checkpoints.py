@@ -48,11 +48,14 @@ def restore_into_state(path: str, state):
         lambda o, n: np.asarray(n, o.dtype), state.constants, restored["constants"]
     )
     opt_state = state.opt_state
-    if "opt_state" in restored:
-        opt_state = jax.tree_util.tree_map(
-            lambda o, n: np.asarray(n, getattr(o, "dtype", None)) if hasattr(o, "dtype") else n,
-            state.opt_state,
-            restored["opt_state"],
-        )
+    if restored.get("opt_state") is not None:
+        # orbax round-trips optax states as plain containers; rebuild through
+        # the live treedef so NamedTuple/custom nodes come back intact
+        target_leaves, treedef = jax.tree_util.tree_flatten(state.opt_state)
+        restored_leaves = jax.tree_util.tree_leaves(restored["opt_state"])
+        if len(restored_leaves) == len(target_leaves):
+            leaves = [np.asarray(n, getattr(o, "dtype", None)) if hasattr(o, "dtype") else n
+                      for o, n in zip(target_leaves, restored_leaves)]
+            opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
     step = restored.get("step", state.step)
-    return TrainState(params, constants, opt_state, step)
+    return TrainState(params, constants, opt_state, step, state.extras)
