@@ -30,7 +30,7 @@ def test_depthwise_and_layernorm_layouts():
     }
     out = convert_seqpan_family(sd)
     flat = flatten_tree(out["params"])
-    assert flat["vfeat_encoder/conv_block/depthwise_0/conv/kernel"].shape == (7, 1, 32)
+    assert flat["vfeat_encoder/conv_block/depthwise_0/kernel"].shape == (7, 1, 32)
     assert flat["vfeat_encoder/conv_block/pointwise_0/kernel"].shape == (32, 32)
     assert flat["vfeat_encoder/conv_block/layer_norm_0/scale"].shape == (32,)
     assert flat["text_encoder/q_layer_norm/scale"].shape == (32,)

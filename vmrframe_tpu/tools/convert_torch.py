@@ -89,8 +89,8 @@ def convert_seqpan_family(state_dict: Dict[str, Any]) -> Dict[str, Dict]:
         if m:
             i, which, wb = int(m.group(1)), m.group(2), m.group(3)
             base = tuple(name[: m.start()].split(".")[:-1]) + ("conv_block",)
-            if which == "0":  # depthwise (dim, 1, 7) -> conv kernel (7, 1, dim)
-                _set(params, base + (f"depthwise_{i}", "conv", "kernel"), v.transpose(2, 1, 0))
+            if which == "0":  # depthwise (dim, 1, 7) -> kernel (7, 1, dim)
+                _set(params, base + (f"depthwise_{i}", "kernel"), v.transpose(2, 1, 0))
             else:  # pointwise (dim, dim, 1)
                 if wb == "weight":
                     _set(params, base + (f"pointwise_{i}", "kernel"), v.squeeze(2).T)
