@@ -131,7 +131,7 @@ def convert_seqpan_family(state_dict: Dict[str, Any]) -> Dict[str, Dict]:
 
         parts = name.split(".")
         # generic LayerNorm: ...layer_norm*.weight/bias -> scale/bias
-        if "layer_norm" in parts[-2] and parts[-1] in ("weight", "bias"):
+        if len(parts) >= 2 and "layer_norm" in parts[-2] and parts[-1] in ("weight", "bias"):
             leaf = "scale" if parts[-1] == "weight" else "bias"
             _set(params, tuple(parts[:-1]) + (leaf,), v)
             continue
@@ -141,6 +141,11 @@ def convert_seqpan_family(state_dict: Dict[str, Any]) -> Dict[str, Dict]:
                 v = v.squeeze(2).T
             elif v.ndim == 2:
                 v = v.T
+            _set(params, tuple(parts), v)
+            continue
+        # raw (dim, 1) attention-pool weights stay as-is (WeightedPool,
+        # models/layers.py:440-453)
+        if len(parts) >= 2 and parts[-2] == "weighted_pool":
             _set(params, tuple(parts), v)
             continue
         # plain Linear
