@@ -129,6 +129,15 @@ def convert_seqpan_family(state_dict: Dict[str, Any]) -> Dict[str, Dict]:
                 _set(params, base + ("out_proj", "bias"), v)
             continue
 
+        # LSTM weights: torch names weight_ih_l{k}[_reverse] -> our
+        # w_ih_l{k}[_reverse]; layouts are identical (layers/recurrent.py)
+        m = re.search(r"\.(weight|bias)_(ih|hh)_l(\d+)(_reverse)?$", name)
+        if m:
+            w, which, layer, rev = m.groups()
+            leaf = f"{'w' if w == 'weight' else 'b'}_{which}_l{layer}{rev or ''}"
+            _set(params, tuple(name[: m.start()].split(".")) + (leaf,), v)
+            continue
+
         parts = name.split(".")
         # generic LayerNorm: ...layer_norm*.weight/bias -> scale/bias
         if len(parts) >= 2 and "layer_norm" in parts[-2] and parts[-1] in ("weight", "bias"):
