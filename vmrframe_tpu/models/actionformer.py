@@ -171,7 +171,10 @@ def ctr_diou_loss_1d(pred, target, eps: float = 1e-8):
 
 
 def actionformer_init_extras(cfg):
-    return {"loss_normalizer": jnp.asarray(float(_af_cfg(cfg).train_cfg.init_loss_norm))}
+    # explicit dtype => strong-typed: a weak-typed init would change the jit
+    # signature after the first EMA update and force a silent re-compile
+    return {"loss_normalizer": jnp.full((), _af_cfg(cfg).train_cfg.init_loss_norm,
+                                        dtype=jnp.float32)}
 
 
 def actionformer_loss(outputs, batch, cfg, extras):
