@@ -68,9 +68,7 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def make_mesh(devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
-    return Mesh(np.asarray(devices), axis_names=("data",))
+from vmrframe_tpu.parallel import make_mesh  # noqa: E402  (re-export, see parallel/mesh.py)
 
 
 class Trainer:
