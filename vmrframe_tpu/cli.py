@@ -65,7 +65,7 @@ def main(argv=None):
     from vmrframe_tpu.config import Derived, load_config
     from vmrframe_tpu.data.batcher import Batcher
     from vmrframe_tpu.data.datasets import load_dataset
-    from vmrframe_tpu.data.features import SyntheticFeatureStore, VideoFeatureStore
+    from vmrframe_tpu.data.features import VideoFeatureStore
     from vmrframe_tpu.metrics import get_i345_mi
     from vmrframe_tpu.registry import get_model_entry
     from vmrframe_tpu.train.trainer import Trainer, fit

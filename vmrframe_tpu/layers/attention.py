@@ -16,8 +16,6 @@ Parity notes vs the reference:
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

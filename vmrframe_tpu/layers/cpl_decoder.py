@@ -11,8 +11,6 @@ jax.nn.softmax here.
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -14,8 +14,6 @@ C++ CPU twin used for cross-checking semantics.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -16,7 +16,7 @@ bundles everything the trainer needs for one model family:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Type
+from typing import Any, Callable, Dict, Optional
 
 MODEL_REGISTRY: Dict[str, "ModelEntry"] = {}
 

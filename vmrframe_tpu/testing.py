@@ -3,8 +3,6 @@
 from __future__ import annotations
 
 import string
-from typing import Tuple
-
 import numpy as np
 
 from vmrframe_tpu.data.features import SyntheticFeatureStore
