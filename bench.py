@@ -1,14 +1,20 @@
 """Benchmark: SeqPAN batch-eval throughput in queries/sec/chip.
 
 This is BASELINE.json's north-star metric ("queries/sec/chip batch eval").
-We time the full jitted eval step — forward + masked-softmax span inference —
-on Charades SeqPAN dims (vlen 64, dim 128, vdim 1024, batch 128) with
-synthetic inputs, on one chip.
+We time the full eval step — bf16 forward + masked-softmax span inference —
+on Charades SeqPAN dims (vlen 64, dim 128, vdim 1024, batch 128).
+
+Timing protocol (important on tunneled devices, where block_until_ready acks
+BEFORE execution finishes — verified with a 1.1 TFLOP matmul "completing" in
+0.05 ms): the eval loop runs ON DEVICE inside one jit (a lax.fori_loop over
+per-iteration-varied batches, the realistic offline batch-eval shape), the
+scalar result's BYTES are fetched as the completion barrier, and two loop
+lengths are differenced so the fetch round-trip cancels out.
 
 ``vs_baseline`` divides by an ESTIMATED single-GPU PyTorch reference
 throughput.  The reference repo records no throughput numbers (its
 consume_time logging is unfilled, see BASELINE.md); 2000 q/s is our estimate
-for its eager per-batch pipeline (batch 128 at ~60ms/forward+host-side
+for its eager per-batch pipeline (batch 128 at ~60 ms/forward + host-side
 inference on a V100-class GPU).  BASELINE.json's speed target is >=10x this.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -26,10 +32,9 @@ REFERENCE_GPU_QPS_ESTIMATE = 2000.0
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from __graft_entry__ import _build, _make_cfg
-
-    import jax.numpy as jnp
 
     batch_size = 128
     cfg = _make_cfg(batch_size=batch_size)
@@ -44,35 +49,40 @@ def main():
             tree,
         )
 
-    @jax.jit
-    def eval_step(variables, batch):
-        # serving precision: bf16 on the MXU, span decoding back in f32
-        outputs = model.apply(to_bf16(variables), to_bf16(batch), True)
-        outputs = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.float32) if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x,
-            outputs,
-        )
-        return entry.infer_fn(outputs, batch, cfg)
-
     device = jax.devices()[0]
-    variables = jax.device_put(variables, device)
-    batch = jax.device_put(batch, device)
+    vb = to_bf16(jax.device_put(variables, device))
+    bb = to_bf16(jax.device_put(batch, device))
 
-    # warmup / compile
-    eval_step(variables, batch)[0].block_until_ready()
+    def make_loop(n):
+        @jax.jit
+        def loop(variables, batch):
+            def body(i, acc):
+                b = dict(batch)
+                # different data every iteration (prevents loop-invariant
+                # hoisting); the tiny acc feedback forbids parallelization
+                b["vfeats"] = jnp.roll(batch["vfeats"], i, axis=1) + acc * 1e-9
+                out = model.apply(variables, b, True)
+                o32 = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.float32)
+                    if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x, out)
+                props = entry.infer_fn(o32, batch, cfg)
+                return acc + jnp.sum(props)
+            return jax.lax.fori_loop(0, n, body, 0.0)
+        return loop
 
-    # best-of-5 trials: the timed window is tens of ms, so host/dispatch
-    # noise (this box reaches the chip via a network tunnel) dominates the
-    # mean; the max is the honest compute-throughput estimate
-    n_iters, best_dt = 200, float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            out = eval_step(variables, batch)
-        out.block_until_ready()
-        best_dt = min(best_dt, time.perf_counter() - t0)
+    def timed(n, reps=3):
+        fn = make_loop(n)
+        np.asarray(fn(vb, bb))  # warm/compile; byte fetch = real barrier
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(fn(vb, bb))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    qps = batch_size * n_iters / best_dt
+    n_small, n_big = 50, 450
+    per_step = (timed(n_big) - timed(n_small)) / (n_big - n_small)
+    qps = batch_size / per_step
     print(json.dumps({
         "metric": "seqpan_eval_queries_per_sec_per_chip",
         "value": round(qps, 1),
