@@ -24,6 +24,38 @@ from vmrframe_tpu.layers.basic import Conv1D, LayerNorm
 from vmrframe_tpu.ops.masking import attention_mask_2d, mask_logits
 
 
+class ProjParams(nn.Module):
+    """Registers a Conv1D-shaped (kernel, bias) pair WITHOUT running the
+    matmul — lets callers concatenate several projections of the same input
+    into ONE MXU matmul (the model is launch/memory-bound at these dims, so
+    fewer, wider matmuls win) while keeping the checkpoint tree identical to
+    the unfused Conv1D layout."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        from vmrframe_tpu.layers.basic import torch_bias_init_for, torch_linear_init
+
+        kernel = self.param("kernel", torch_linear_init, (in_dim, self.out_dim))
+        bias = self.param("bias", torch_bias_init_for(in_dim), (self.out_dim,))
+        return kernel, bias
+
+
+def fused_proj(x, kbs):
+    """One matmul for several (kernel, bias) pairs over the same input;
+    returns the per-projection outputs."""
+    ks = jnp.concatenate([k for k, _ in kbs], axis=1)
+    bs = jnp.concatenate([b for _, b in kbs], axis=0)
+    y = x @ ks + bs
+    sizes = [k.shape[1] for k, _ in kbs]
+    outs, off = [], 0
+    for s in sizes:
+        outs.append(y[..., off : off + s])
+        off += s
+    return outs
+
+
 def _split_heads(x, num_heads):
     B, L, D = x.shape
     return x.reshape(B, L, num_heads, D // num_heads).transpose(0, 2, 1, 3)
@@ -66,7 +98,10 @@ class MultiHeadAttentionBlock(nn.Module):
 
 class BiLinear(nn.Module):
     """sum of one shared Dense applied to both inputs + extra bias — the
-    reference's (quirky) BiLinear (models/layers.py:246-263)."""
+    reference's (quirky) BiLinear (models/layers.py:246-263).
+
+    (Row-stacking the two inputs into one matmul was measured SLOWER here —
+    the concat copy outweighs the saved launch at these sizes.)"""
 
     dim: int
     use_bias: bool = True
@@ -107,11 +142,19 @@ class DualMultiAttention(nn.Module):
         head_size = self.dim // self.num_heads
         drop = lambda t: nn.Dropout(self.droprate)(t, deterministic=deterministic)
 
-        query = _split_heads(Conv1D(self.dim, name="query")(from_tensor), self.num_heads)
-        f_key = _split_heads(Conv1D(self.dim, name="f_key")(from_tensor), self.num_heads)
-        f_value = _split_heads(Conv1D(self.dim, name="f_value")(from_tensor), self.num_heads)
-        t_key = _split_heads(Conv1D(self.dim, name="t_key")(to_tensor), self.num_heads)
-        t_value = _split_heads(Conv1D(self.dim, name="t_value")(to_tensor), self.num_heads)
+        Din = from_tensor.shape[-1]
+        q_kb = ProjParams(self.dim, name="query")(Din)
+        fk_kb = ProjParams(self.dim, name="f_key")(Din)
+        fv_kb = ProjParams(self.dim, name="f_value")(Din)
+        tk_kb = ProjParams(self.dim, name="t_key")(to_tensor.shape[-1])
+        tv_kb = ProjParams(self.dim, name="t_value")(to_tensor.shape[-1])
+        q_o, fk_o, fv_o = fused_proj(from_tensor, [q_kb, fk_kb, fv_kb])
+        tk_o, tv_o = fused_proj(to_tensor, [tk_kb, tv_kb])
+        query = _split_heads(q_o, self.num_heads)
+        f_key = _split_heads(fk_o, self.num_heads)
+        f_value = _split_heads(fv_o, self.num_heads)
+        t_key = _split_heads(tk_o, self.num_heads)
+        t_value = _split_heads(tv_o, self.num_heads)
 
         s_attn_mask = attention_mask_2d(from_mask, from_mask)[:, None]
         x_attn_mask = attention_mask_2d(from_mask, to_mask)[:, None]

@@ -32,11 +32,16 @@ class TopSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
+        from vmrframe_tpu.layers.attention import ProjParams, fused_proj
+
         B, L, D = x.shape
         head_size = self.dim // self.num_heads
-        query = _split_heads(Conv1D(self.dim, name="query")(x), self.num_heads)
-        key = _split_heads(Conv1D(self.dim, name="key")(x), self.num_heads)
-        value = _split_heads(Conv1D(self.dim, name="value")(x), self.num_heads)
+        q_o, k_o, v_o = fused_proj(x, [ProjParams(self.dim, name="query")(D),
+                                       ProjParams(self.dim, name="key")(D),
+                                       ProjParams(self.dim, name="value")(D)])
+        query = _split_heads(q_o, self.num_heads)
+        key = _split_heads(k_o, self.num_heads)
+        value = _split_heads(v_o, self.num_heads)
         attn_mask = attention_mask_2d(mask, mask)[:, None]
         scores = jnp.einsum("bhld,bhmd->bhlm", query, key) / math.sqrt(head_size)
         scores = scores + (1.0 - attn_mask) * -1e30
