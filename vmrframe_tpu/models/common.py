@@ -50,6 +50,9 @@ def encode_and_fuse(
     )(batch["words_ids"], batch["char_ids"], deterministic)
     vfeat = VisualProjection(dim, droprate, name="video_affine")(batch["vfeats"], deterministic)
 
+    # NB: stacking both modalities into one 2B batch for the shared encoder /
+    # dual blocks was measured SLOWER (pad-to-Lmax waste + concat copies
+    # outweigh the halved launches at these dims) — keep the two-call form.
     v_encoder = FeatureEncoder(dim, max_pos_len=m.vlen, kernel_size=7,
                                num_layers=encoder_layers, droprate=droprate, name="vfeat_encoder")
     vfeat = v_encoder(vfeat, deterministic)
