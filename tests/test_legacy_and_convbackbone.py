@@ -73,3 +73,19 @@ def test_actionformer_conv_backbone_trains():
     step = trainer.compiled_train_step()
     state, m = step(state, trainer._shard_batch(next(train_b.epoch(seed=0))), rng)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_fpn1d_neck():
+    import jax
+    import jax.numpy as jnp
+
+    from vmrframe_tpu.layers.actionformer import FPN1D
+
+    rng = np.random.default_rng(0)
+    feats = [jnp.asarray(rng.standard_normal((2, L, 16)).astype(np.float32)) for L in (32, 16, 8)]
+    masks = [jnp.ones((2, L)) for L in (32, 16, 8)]
+    mod = FPN1D(num_levels=3, out_channel=16)
+    params = mod.init(jax.random.PRNGKey(0), feats, masks)
+    out_f, out_m = mod.apply(params, feats, masks)
+    assert [f.shape for f in out_f] == [(2, 32, 16), (2, 16, 16), (2, 8, 16)]
+    assert all(np.isfinite(np.asarray(f)).all() for f in out_f)

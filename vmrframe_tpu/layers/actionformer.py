@@ -346,6 +346,38 @@ class ConvBackbone(nn.Module):
         return out_feats, out_masks
 
 
+class FPN1D(nn.Module):
+    """Feature pyramid neck (reference necks.py:8-91): lateral 1×1 convs,
+    top-down nearest-neighbor upsampling, depthwise 3-convs + channel-LN."""
+
+    num_levels: int
+    out_channel: int
+    scale_factor: int = 2
+    with_ln: bool = True
+
+    @nn.compact
+    def __call__(self, feats: List[jnp.ndarray], masks: List[jnp.ndarray]):
+        laterals = []
+        for i in range(self.num_levels):
+            x, _ = MaskedConv1D(self.out_channel, 1, 1, use_bias=(not self.with_ln),
+                                name=f"lateral_{i}")(feats[i], masks[i])
+            laterals.append(x)
+        # top-down pathway: nearest upsample by scale_factor
+        for i in range(self.num_levels - 1, 0, -1):
+            up = jnp.repeat(laterals[i], self.scale_factor, axis=1)
+            laterals[i - 1] = laterals[i - 1] + up[:, : laterals[i - 1].shape[1]]
+        out_feats, out_masks = [], []
+        for i in range(self.num_levels):
+            x, m = MaskedConv1D(self.out_channel, 3, 1, groups=self.out_channel,
+                                use_bias=(not self.with_ln), name=f"fpn_conv_{i}")(
+                laterals[i], masks[i])
+            if self.with_ln:
+                x = ChannelLayerNorm(name=f"fpn_norm_{i}")(x)
+            out_feats.append(x)
+            out_masks.append(m)
+        return out_feats, out_masks
+
+
 class FPNIdentity(nn.Module):
     """Per-level channel-LN (reference necks.py:94-143)."""
 

@@ -84,9 +84,15 @@ class ActionFormer(nn.Module):
                 use_abs_pe=af.use_abs_pe,
                 name="backbone",
             )(feats, masks, deterministic)
-        fpn_feats, fpn_masks = FPNIdentity(num_levels, with_ln=af.fpn_with_ln, name="neck")(
-            fpn_feats, fpn_masks
-        )
+        if af.fpn_type == "fpn":
+            from vmrframe_tpu.layers.actionformer import FPN1D
+
+            fpn_feats, fpn_masks = FPN1D(num_levels, af.fpn_dim, af.scale_factor,
+                                         with_ln=af.fpn_with_ln, name="neck")(fpn_feats, fpn_masks)
+        else:
+            fpn_feats, fpn_masks = FPNIdentity(num_levels, with_ln=af.fpn_with_ln, name="neck")(
+                fpn_feats, fpn_masks
+            )
 
         prior_bias = -math.log((1 - train_cfg.cls_prior_prob) / train_cfg.cls_prior_prob)
         cls_logits = ConvHead(
