@@ -99,6 +99,7 @@ class MaskedMHCA(nn.Module):
     attn_pdrop: float = 0.0
     proj_pdrop: float = 0.0
     window_size: int = -1
+    use_rel_pe: bool = False  # learned per-head relative PE inside the window
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
@@ -139,7 +140,19 @@ class MaskedMHCA(nn.Module):
         if self.window_size > 0:
             qi = jnp.arange(Tq)[:, None]
             kj = jnp.arange(Tk)[None, :]
-            band = jnp.abs(qi - kj) <= (self.window_size // 2)
+            half = self.window_size // 2
+            band = jnp.abs(qi - kj) <= half
+            if self.use_rel_pe:
+                # (1, 1, n_head, window_size) learned offsets added to the
+                # in-window scores (reference blocks.py:392-396,609-610)
+                rel_pe = self.param(
+                    "rel_pe",
+                    nn.initializers.truncated_normal(stddev=(2.0 / self.n_embd) ** 0.5),
+                    (self.n_head, self.window_size),
+                )
+                offset = jnp.clip(kj - qi + half, 0, self.window_size - 1)
+                att = att + jnp.where(band[None, None],
+                                      rel_pe[None, :, offset], 0.0)
             att = jnp.where(band[None, None], att, neg)
         att = jax.nn.softmax(att, axis=-1)
         att = nn.Dropout(self.attn_pdrop)(att, deterministic=deterministic)
@@ -198,6 +211,7 @@ class TransformerBlock(nn.Module):
     proj_pdrop: float = 0.0
     path_pdrop: float = 0.0
     mha_win_size: int = -1
+    use_rel_pe: bool = False
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
@@ -205,7 +219,7 @@ class TransformerBlock(nn.Module):
             self.n_embd, self.n_head,
             n_qx_stride=self.n_ds_stride, n_kv_stride=self.n_ds_stride,
             attn_pdrop=self.attn_pdrop, proj_pdrop=self.proj_pdrop,
-            window_size=self.mha_win_size, name="attn",
+            window_size=self.mha_win_size, use_rel_pe=self.use_rel_pe, name="attn",
         )(ChannelLayerNorm(name="ln1")(x), mask, deterministic)
 
         if self.n_ds_stride > 1:
@@ -255,6 +269,7 @@ class ConvTransformerBackbone(nn.Module):
     proj_pdrop: float = 0.0
     path_pdrop: float = 0.0
     use_abs_pe: bool = False
+    use_rel_pe: bool = False
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
@@ -278,7 +293,7 @@ class ConvTransformerBackbone(nn.Module):
                 self.n_embd, self.n_head, n_ds_stride=1,
                 attn_pdrop=self.attn_pdrop, proj_pdrop=self.proj_pdrop,
                 path_pdrop=self.path_pdrop, mha_win_size=self.mha_win_size[0],
-                name=f"stem_{idx}",
+                use_rel_pe=self.use_rel_pe, name=f"stem_{idx}",
             )(x, mask, deterministic)
 
         out_feats, out_masks = [x], [mask]
@@ -287,7 +302,7 @@ class ConvTransformerBackbone(nn.Module):
                 self.n_embd, self.n_head, n_ds_stride=self.scale_factor,
                 attn_pdrop=self.attn_pdrop, proj_pdrop=self.proj_pdrop,
                 path_pdrop=self.path_pdrop, mha_win_size=self.mha_win_size[1 + idx],
-                name=f"branch_{idx}",
+                use_rel_pe=self.use_rel_pe, name=f"branch_{idx}",
             )(x, mask, deterministic)
             out_feats.append(x)
             out_masks.append(mask)
