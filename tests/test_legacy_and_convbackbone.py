@@ -89,3 +89,19 @@ def test_fpn1d_neck():
     out_f, out_m = mod.apply(params, feats, masks)
     assert [f.shape for f in out_f] == [(2, 32, 16), (2, 16, 16), (2, 8, 16)]
     assert all(np.isfinite(np.asarray(f)).all() for f in out_f)
+
+
+def test_windowed_attention_rel_pe():
+    import jax
+    import jax.numpy as jnp
+
+    from vmrframe_tpu.layers.actionformer import MaskedMHCA
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, 8)).astype(np.float32))
+    mask = jnp.ones((2, 16))
+    mod = MaskedMHCA(8, 2, window_size=5, use_rel_pe=True)
+    params = mod.init(jax.random.PRNGKey(0), x, mask)
+    assert params["params"]["rel_pe"].shape == (2, 5)
+    out, _ = mod.apply(params, x, mask)
+    assert np.isfinite(np.asarray(out)).all()
