@@ -29,6 +29,8 @@ def parse_args(argv=None):
     parser.add_argument("--seed", default=1234, type=int, help="random seed")
     parser.add_argument("--synthetic", action="store_true", help="synthetic features/annotations")
     parser.add_argument("--epochs", type=int, default=None, help="override train.epochs")
+    parser.add_argument("--save-results", type=str, default=None,
+                        help="with --eval: write per-sample predictions JSON here")
     return parser.parse_args(argv)
 
 
@@ -107,12 +109,32 @@ def main(argv=None):
             from vmrframe_tpu.train.checkpoints import restore_into_state
 
             state = restore_into_state(args.checkpoint, state)
-        ious, lossmeter, secs = trainer.run_eval_epoch(state, test_batcher.epoch(seed=0))
+        ious, lossmeter, secs, props = trainer.run_eval_epoch(
+            state, test_batcher.epoch(seed=0), collect_props=True)
         r1i3, r1i5, _, r1i7, mi = get_i345_mi(ious)
         logger.info(
             f"TEST |\tR1I3: {r1i3:.2f}\tR1I5: {r1i5:.2f}\tR1I7: {r1i7:.2f}\t"
             f"mIoU: {mi:.2f}\tloss:{lossmeter.avg:.4f}\tcompute_s:{secs:.2f}"
         )
+        if args.save_results:
+            # the prediction export the reference never had (its --eval only
+            # logs metrics, main.py:138-153): [vid, pred_seconds, gt_seconds, iou]
+            import json
+
+            records = dataset["test_set"]
+            out = []
+            for rec, p, iou in zip(records, props, ious):
+                dur = rec["duration"]
+                out.append({
+                    "vid": rec["vid"],
+                    "sentence": rec["sentence"],
+                    "pred_time": [float(p[0]) * dur, float(p[1]) * dur],
+                    "gt_time": [float(rec["se_time"][0]), float(rec["se_time"][1])],
+                    "iou": float(iou),
+                })
+            with open(args.save_results, "w", encoding="utf8") as f:
+                json.dump(out, f)
+            logger.info(f"wrote {len(out)} predictions to {args.save_results}")
         return {"r1i3": r1i3, "r1i5": r1i5, "r1i7": r1i7, "miou": mi}
 
     result = fit(trainer, train_batcher, test_batcher, rng_seed=args.seed,
