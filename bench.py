@@ -92,4 +92,15 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # the tunneled TPU backend occasionally fails registration transiently
+    # (see .claude/skills/verify); one retry in a fresh attempt covers it
+    try:
+        main()
+    except RuntimeError as e:
+        if "backend" in str(e).lower():
+            import time as _t
+
+            _t.sleep(20)
+            main()
+        else:
+            raise
