@@ -24,6 +24,7 @@ import numpy as np
 
 from vmrframe_tpu.data.augment import sample_vfeat_linear, video_augmentation
 from vmrframe_tpu.data.labels import dist_idx_label, label_span_from_curve, ner_label
+from vmrframe_tpu.metrics import frac_idx
 
 
 class Batcher:
@@ -93,7 +94,6 @@ class Batcher:
                 self._resample_cache[vid + "/rawlen"] = raw_len
             raw_len = self._resample_cache[vid + "/rawlen"]
             label = np.zeros(raw_len, dtype=np.float32)
-            from vmrframe_tpu.metrics import frac_idx
             sidx0, eidx0 = frac_idx([sfrac, efrac], raw_len)
             label[sidx0:eidx0 + 1] = 1.0
             _, label = sample_vfeat_linear(np.zeros((raw_len, 1), np.float32), label,
