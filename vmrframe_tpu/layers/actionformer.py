@@ -57,11 +57,14 @@ class MaskedConv1D(nn.Module):
     def __call__(self, x, mask):
         in_ch = x.shape[-1]
         fan_in = (in_ch // self.groups) * self.kernel_size
+        # explicit symmetric k//2 padding: flax 'SAME' pads asymmetrically for
+        # strided convs, which shifts the downsampled grid by one vs torch
+        pad = self.kernel_size // 2
         y = nn.Conv(
             features=self.features,
             kernel_size=(self.kernel_size,),
             strides=(self.stride,),
-            padding="SAME",
+            padding=((pad, pad),),
             feature_group_count=self.groups,
             use_bias=self.use_bias,
             kernel_init=torch_linear_init_conv(fan_in),
