@@ -11,11 +11,15 @@ per-iteration-varied batches, the realistic offline batch-eval shape), the
 scalar result's BYTES are fetched as the completion barrier, and two loop
 lengths are differenced so the fetch round-trip cancels out.
 
-``vs_baseline`` divides by an ESTIMATED single-GPU PyTorch reference
-throughput.  The reference repo records no throughput numbers (its
-consume_time logging is unfilled, see BASELINE.md); 2000 q/s is our estimate
-for its eager per-batch pipeline (batch 128 at ~60 ms/forward + host-side
-inference on a V100-class GPU).  BASELINE.json's speed target is >=10x this.
+``vs_baseline`` divides by a MEASURED bound on the reference's single-GPU
+throughput: docs/REF_BASELINE.json, produced by
+``python -m vmrframe_tpu.tools.measure_reference``, which times the actual
+reference code on this host (full-dims CPU eval + the eager-dispatch floor
+that bounds its per-batch time on any accelerator — it uses no CUDA graphs)
+and derives ``ref_gpu_qps_bound`` as a deliberately GENEROUS upper bound on
+a V100-class GPU.  vs_baseline is therefore a LOWER bound on the true
+speedup.  If the JSON is absent, falls back to the round-1 2000 q/s
+estimate (flagged in the output as provenance "estimate").
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -23,11 +27,24 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
-REFERENCE_GPU_QPS_ESTIMATE = 2000.0
+REFERENCE_GPU_QPS_ESTIMATE = 2000.0  # round-1 fallback only
+
+
+def reference_baseline_qps():
+    """(qps, provenance) — measured bound if available, else the estimate."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "docs", "REF_BASELINE.json")
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        return float(data["ref_gpu_qps_bound"]), "measured_bound"
+    except Exception:
+        return REFERENCE_GPU_QPS_ESTIMATE, "estimate"
 
 
 def main():
@@ -83,11 +100,14 @@ def main():
     n_small, n_big = 50, 450
     per_step = (timed(n_big) - timed(n_small)) / (n_big - n_small)
     qps = batch_size / per_step
+    baseline_qps, provenance = reference_baseline_qps()
     print(json.dumps({
         "metric": "seqpan_eval_queries_per_sec_per_chip",
         "value": round(qps, 1),
         "unit": "queries/sec/chip",
-        "vs_baseline": round(qps / REFERENCE_GPU_QPS_ESTIMATE, 2),
+        "vs_baseline": round(qps / baseline_qps, 2),
+        "baseline_qps": baseline_qps,
+        "baseline_provenance": provenance,
     }))
 
 

@@ -39,7 +39,7 @@ def test_nms_hard_suppresses_overlaps():
     segs = jnp.asarray([[0.0, 10.0], [1.0, 11.0], [20.0, 30.0]])
     scores = jnp.asarray([0.9, 0.8, 0.7])
     kept, kscores, valid = nms_1d(segs, scores, iou_threshold=0.5, max_keep=3,
-                                  min_score=0.01, soft=False, sigma=0.5)
+                                  min_score=0.01, method=0, sigma=0.5)
     kept = np.asarray(kept)[np.asarray(valid)]
     # the overlapping [1, 11] must be suppressed
     assert kept.shape[0] == 2
@@ -51,7 +51,7 @@ def test_nms_soft_decays_scores():
     segs = jnp.asarray([[0.0, 10.0], [0.0, 10.0], [20.0, 30.0]])
     scores = jnp.asarray([0.9, 0.85, 0.5])
     kept, kscores, valid = nms_1d(segs, scores, iou_threshold=0.1, max_keep=3,
-                                  min_score=0.001, soft=True, sigma=0.5)
+                                  min_score=0.001, method=2, sigma=0.5)
     kscores = np.asarray(kscores)
     # duplicate decayed: second pick is the far segment, not the duplicate
     np.testing.assert_allclose(np.asarray(kept)[1], [20, 30])

@@ -97,3 +97,67 @@ def test_erosion_keeps_gt_and_shapes():
                                    7, vlen=cfg.model.vlen, aug_mode="erosion",
                                    erosion_p=0.05, sample_type="truncation")
     np.testing.assert_array_equal(vfeats, np.asarray(dev2["vfeats"]))
+
+
+def test_dilation_device_semantics():
+    """Device dilation (index remapping, ops/input_pipeline.py::_dilate) has
+    the reference's feature_dilation semantics (utils/data_utils.py:88-120):
+    pads are windows of NEGATIVE frames, the gt span shifts by head_len, and
+    p=0 degenerates to the unchanged path."""
+    cfg = _cfg({"dilation": 0.3})
+    dataset, store = make_synthetic_data(cfg, seed=3, n_train=16, n_test=4)
+    raw, lens, fracs = _raw_batch(cfg, dataset, store, list(range(16)))
+    dev = device_augment_resample(jnp.asarray(raw), jnp.asarray(lens), jnp.asarray(fracs),
+                                  9, vlen=cfg.model.vlen, aug_mode="dilation",
+                                  erosion_p=0.3, sample_type="truncation")
+    vfeats = np.asarray(dev["vfeats"])
+    label1ds = np.asarray(dev["label1ds"])
+    assert vfeats.shape == (16, cfg.model.vlen, cfg.model.vdim)
+    assert np.isfinite(vfeats).all()
+    # every sample keeps a non-empty gt
+    assert np.allclose(label1ds.max(axis=-1), 1.0)
+    # deterministic given seed
+    dev2 = device_augment_resample(jnp.asarray(raw), jnp.asarray(lens), jnp.asarray(fracs),
+                                   9, vlen=cfg.model.vlen, aug_mode="dilation",
+                                   erosion_p=0.3, sample_type="truncation")
+    np.testing.assert_array_equal(vfeats, np.asarray(dev2["vfeats"]))
+
+    # p=0 -> identical to the unchanged path (no pads drawn)
+    dev0 = device_augment_resample(jnp.asarray(raw), jnp.asarray(lens), jnp.asarray(fracs),
+                                   9, vlen=cfg.model.vlen, aug_mode="dilation",
+                                   erosion_p=0.0, sample_type="truncation")
+    base = device_augment_resample(jnp.asarray(raw), jnp.asarray(lens), jnp.asarray(fracs),
+                                   9, vlen=cfg.model.vlen, aug_mode="unchanged",
+                                   sample_type="truncation")
+    np.testing.assert_allclose(np.asarray(dev0["vfeats"]), np.asarray(base["vfeats"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dev0["label1ds"]), np.asarray(base["label1ds"]), atol=1e-6)
+
+
+def test_dilation_pad_frames_come_from_negative_pool():
+    """Without resampling, pad rows must be copies of negative (outside-gt)
+    raw frames — never gt frames, never fabricated values."""
+    vlen, vdim, T = 32, 8, 20
+    raw = np.zeros((1, T, vdim), np.float32)
+    rng = np.random.default_rng(0)
+    raw[0, :] = rng.normal(size=(T, vdim))
+    # gt occupies the middle half
+    fracs = np.asarray([[0.25, 0.6]], np.float32)
+    sidx, eidx = round(0.25 * (T - 1)), round(0.6 * (T - 1))
+    dev = device_augment_resample(jnp.asarray(raw), jnp.asarray([T], jnp.int32),
+                                  jnp.asarray(fracs), 123, vlen=vlen,
+                                  aug_mode="dilation", erosion_p=0.3,
+                                  sample_type="truncation")
+    out = np.asarray(dev["vfeats"])[0]
+    vmask = np.asarray(dev["vmasks"])[0]
+    out_len = int(vmask.sum())
+    neg_rows = {tuple(np.round(raw[0, i], 5)) for i in range(T) if not (sidx <= i <= eidx)}
+    all_rows = {tuple(np.round(raw[0, i], 5)) for i in range(T)}
+    # find the body: the contiguous copy of raw inside out
+    for i in range(out_len):
+        row = tuple(np.round(out[i], 5))
+        assert row in all_rows, f"frame {i} is not a raw frame"
+        if row not in neg_rows:
+            continue
+    # count: body length == T, so pads = out_len - T, all from the neg pool
+    body_hits = sum(1 for i in range(out_len) if tuple(np.round(out[i], 5)) in all_rows - neg_rows)
+    assert body_hits == eidx - sidx + 1  # every gt frame appears exactly once

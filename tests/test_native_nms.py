@@ -25,7 +25,7 @@ def test_hard_nms_matches_jax():
     c_segs, c_scores, _ = nms_1d_cpu(segs, scores, iou_threshold=0.5, min_score=0.01,
                                      method=0, max_keep=20)
     j_segs, j_scores, valid = nms_1d(jnp.asarray(segs), jnp.asarray(scores), 0.5, 20,
-                                     0.01, False, 0.5)
+                                     0.01, 0, 0.5)
     j_segs = np.asarray(j_segs)[np.asarray(valid)]
     j_scores = np.asarray(j_scores)[np.asarray(valid)]
     assert c_segs.shape == j_segs.shape
@@ -39,7 +39,7 @@ def test_gaussian_soft_nms_matches_jax():
     c_segs, c_scores, _ = nms_1d_cpu(segs, scores, iou_threshold=0.1, min_score=0.001,
                                      method=2, sigma=sigma, max_keep=30)
     j_segs, j_scores, valid = nms_1d(jnp.asarray(segs), jnp.asarray(scores), 0.1, 30,
-                                     0.001, True, sigma)
+                                     0.001, 2, sigma)
     j_segs = np.asarray(j_segs)[np.asarray(valid)]
     j_scores = np.asarray(j_scores)[np.asarray(valid)]
     assert c_segs.shape == j_segs.shape
@@ -63,3 +63,16 @@ def test_min_score_stops_selection():
                                     method=2, sigma=0.1, max_keep=5)
     # duplicate decays to ~0 < min_score -> only one kept
     assert len(idx) == 1
+
+
+def test_linear_soft_nms_matches_jax():
+    segs, scores = _problem(seed=2)
+    c_segs, c_scores, _ = nms_1d_cpu(segs, scores, iou_threshold=0.3, min_score=0.001,
+                                     method=1, max_keep=30)
+    j_segs, j_scores, valid = nms_1d(jnp.asarray(segs), jnp.asarray(scores), 0.3, 30,
+                                     0.001, 1, 0.5)
+    j_segs = np.asarray(j_segs)[np.asarray(valid)]
+    j_scores = np.asarray(j_scores)[np.asarray(valid)]
+    assert c_segs.shape == j_segs.shape
+    np.testing.assert_allclose(c_segs, j_segs, atol=1e-5)
+    np.testing.assert_allclose(c_scores, j_scores, atol=1e-5)

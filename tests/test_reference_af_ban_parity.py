@@ -362,3 +362,29 @@ def test_proposal_selection_vs_reference(ref_ban, rng):
     theirs_sorted = np.array(sorted(map(tuple, np_(theirs).tolist())))
     assert ours_sorted.shape == theirs_sorted.shape, (ours_sorted.shape, theirs_sorted.shape)
     np.testing.assert_allclose(ours_sorted, theirs_sorted, atol=0)
+
+
+def test_seg_voting_vs_reference(rng):
+    """Our on-device seg_voting vs the real reference implementation
+    (actionformer_utils.py:67-101).  The reference module imports the
+    absent-source nms_1d_cpu extension at module level; a stub module
+    satisfies the import (seg_voting itself is pure torch)."""
+    import sys
+    import types
+
+    sys.modules.setdefault("nms_1d_cpu", types.ModuleType("nms_1d_cpu"))
+    ref_utils = load_ref("models.ActionFormerlib.actionformer_utils")
+    from vmrframe_tpu.ops.nms import seg_voting
+
+    N, K = 40, 6
+    starts = rng.random(N).astype(np.float32) * 50
+    lengths = rng.random(N).astype(np.float32) * 20 + 1
+    all_segs = np.stack([starts, starts + lengths], axis=1)
+    all_scores = rng.random(N).astype(np.float32)
+    nms_segs = all_segs[np.argsort(-all_scores)[:K]]
+
+    ours = seg_voting(jnp.asarray(nms_segs), jnp.asarray(all_segs),
+                      jnp.asarray(all_scores), 0.5)
+    theirs = ref_utils.seg_voting(torch.tensor(nms_segs), torch.tensor(all_segs),
+                                  torch.tensor(all_scores), 0.5)
+    np.testing.assert_allclose(np.asarray(ours), np_(theirs), atol=1e-4)

@@ -62,7 +62,14 @@ class Batcher:
         self._aug_is_identity = set(self.aug.keys()) == {"unchanged"}
         # on-device pipeline (ops/input_pipeline.py): ship padded raw
         # features; augmentation/resampling/labels run inside the jitted step.
-        self.device_pipeline = bool(dp.get("device_pipeline", False)) if dp else False
+        # DEFAULT ON for augmented configs (erosion/dilation): host assembly
+        # costs ~110 ms/batch vs ~4 ms identity (BASELINE.md) while the
+        # device path folds the whole stage into the jitted step.  The
+        # identity path stays on host (per-vid resample cache is cheap).
+        aug_key = next(iter(self.aug))
+        default_on = len(self.aug) == 1 and aug_key in ("erosion", "dilation") \
+            and self.sample_type != "original"
+        self.device_pipeline = bool(dp.get("device_pipeline", default_on)) if dp else False
         if self.device_pipeline and (len(self.aug) != 1 or self.sample_type == "original"):
             self.device_pipeline = False  # multi-aug choice / 'original' stay on host
         self._max_raw_len = 0

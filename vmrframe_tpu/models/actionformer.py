@@ -36,7 +36,7 @@ from vmrframe_tpu.layers.actionformer import (
     Scale,
     generate_points,
 )
-from vmrframe_tpu.ops.nms import batched_nms_1d
+from vmrframe_tpu.ops.nms import batched_nms_1d, batched_seg_voting
 from vmrframe_tpu.registry import register_model
 
 
@@ -213,10 +213,13 @@ def actionformer_loss(outputs, batch, cfg, extras):
     return final, {"loss_normalizer": loss_normalizer}
 
 
-def actionformer_infer(outputs, batch, cfg):
-    """Batched decode + soft-NMS -> top-1 span as duration FRACTIONS so the
-    shared metric engine applies (reference inference_single_video +
-    postprocessing, meta_archs.py:641-750, restricted to top-1)."""
+def _decode_and_nms(outputs, cfg):
+    """Shared decode + (soft-)NMS + voting over the whole batch on device.
+
+    Returns (segs (B, K, 2) grid coords, scores (B, K), valid (B, K)) with
+    K = test_cfg.max_seg_num, sorted by decayed score — the reference's
+    inference_single_video + batched_nms class-agnostic path
+    (meta_archs.py:641-706, actionformer_utils.py:103-190)."""
     af = _af_cfg(cfg)
     test = af.test_cfg
     points = jnp.asarray(_points(cfg))
@@ -230,24 +233,54 @@ def actionformer_infer(outputs, batch, cfg):
     keep = (probs > test.pre_nms_thresh) & ((seg_right - seg_left) > test.duration_thresh)
     scores = jnp.where(keep, probs, 0.0)
 
-    method = test.nms_method
-    if method == "none":
-        idx = jnp.argmax(scores, axis=1)
-        best = jnp.take_along_axis(segs, idx[:, None, None], axis=1)[:, 0]
-    else:
-        kept_segs, kept_scores, valids = batched_nms_1d(
-            segs, scores, test.iou_threshold, int(test.max_seg_num),
-            test.min_score, method == "soft", test.nms_sigma,
-        )
-        best = kept_segs[:, 0]  # highest (decayed) score
+    K = int(test.max_seg_num)
+    method_name = test.nms_method
+    if method_name == "none":
+        kept_scores, idx = jax.lax.top_k(scores, K)
+        kept_segs = jnp.take_along_axis(segs, idx[..., None], axis=1)
+        valids = kept_scores > 0
+        return kept_segs, kept_scores, valids
 
-    # grid -> seconds -> fractions (meta_archs.py:736-741)
-    stride_s = batch["feat_stride"][:, None]
-    nframes = batch["feat_num_frames"][:, None]
-    fps = batch["fps"][:, None]
-    secs = (best * stride_s + 0.5 * nframes) / fps
-    secs = jnp.clip(secs, 0.0, batch["duration"][:, None])
+    method = {"soft": 2, "linear": 1}.get(method_name, 0)
+    kept_segs, kept_scores, valids = batched_nms_1d(
+        segs, scores, test.iou_threshold, K, test.min_score, method, test.nms_sigma,
+    )
+    # seg voting on the class-agnostic path (actionformer_utils.py:173-180);
+    # the shipped configs set multiclass_nms false + voting_thresh 0.9
+    voting = float(getattr(test, "voting_thresh", 0.0) or 0.0)
+    if voting > 0 and not bool(getattr(test, "multiclass_nms", False)):
+        kept_segs = batched_seg_voting(kept_segs, segs, scores, voting)
+    return kept_segs, kept_scores, valids
+
+
+def _grid_to_seconds(segs, batch):
+    """grid -> seconds, clipped to [0, duration] (meta_archs.py:736-741).
+    segs: (B, ..., 2)."""
+    expand = (slice(None),) + (None,) * (segs.ndim - 1)
+    secs = (segs * batch["feat_stride"][expand] + 0.5 * batch["feat_num_frames"][expand]) \
+        / batch["fps"][expand]
+    return jnp.clip(secs, 0.0, batch["duration"][expand])
+
+
+def actionformer_infer(outputs, batch, cfg):
+    """Top-1 span as duration FRACTIONS so the shared VMR metric engine
+    applies (reference inference + postprocessing restricted to top-1)."""
+    kept_segs, _, _ = _decode_and_nms(outputs, cfg)
+    secs = _grid_to_seconds(kept_segs[:, 0], batch)
     return secs / batch["duration"][:, None]
+
+
+def actionformer_infer_full(outputs, batch, cfg):
+    """The full ActionFormer protocol: top ``test_cfg.max_seg_num`` segments
+    per video.  Returns {'segments': (B, K, 2) seconds, 'scores': (B, K),
+    'valid': (B, K)} — the batched equivalent of the reference's
+    postprocessing output list (meta_archs.py:708-750)."""
+    kept_segs, kept_scores, valids = _decode_and_nms(outputs, cfg)
+    return {
+        "segments": _grid_to_seconds(kept_segs, batch),
+        "scores": kept_scores,
+        "valid": valids,
+    }
 
 
 from vmrframe_tpu.data.af_batcher import ActionFormerBatcher  # noqa: E402

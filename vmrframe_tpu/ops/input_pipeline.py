@@ -15,9 +15,16 @@ train/eval step:
 - boundary span extraction, clipped-Gaussian ``label1d`` heatmaps and the
   O/B/I/E ``NER_labels``, all from iota arithmetic.
 
-``dilation`` (which grows the clip with synthesized negative segments) stays
-on the host path — it changes the length beyond the raw buffer.  Shipped
-reference configs use either ``unchanged`` or ``erosion``.
+- ``dilation`` augmentation: the reference prepends/appends random windows
+  of the clip's NEGATIVE (outside-gt) frames (utils/data_utils.py:88-120) —
+  here expressed as a pure index remapping into the raw buffer on a wider
+  static grid of ``max_raw * (1 + 2p)`` frames, composed with the same
+  resampling matmul.  When a clip has no negative frames the reference
+  substitutes uniform noise (``torch.rand_like``); same here via jax PRNG.
+  One intentional simplification: the reference tiles the negative pool by
+  doubling and draws a start offset within the tiled buffer; since the tiled
+  pool is periodic, we draw the offset directly in [0, n_neg) — the sampled
+  windows are the same set, with a slightly different offset distribution.
 """
 
 from __future__ import annotations
@@ -100,6 +107,44 @@ def _ner_label(sidx, eidx, cur_len, vlen: int, ext_len: int = 1):
     return lab
 
 
+def _dilate(key, raw, T, sidx0, eidx0, p: float, max_raw: int):
+    """Index-remapped dilation (reference feature_dilation + its
+    select_negtive_segment, utils/data_utils.py:88-120).  Returns the
+    dilated features on a static ``max_raw + 2*ceil(p*max_raw)`` grid plus
+    (new_len, shifted sidx/eidx)."""
+    pad = int(-(-p * max_raw // 1))  # ceil(p * max_raw), static
+    grid = max_raw + 2 * pad
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    Tf = T.astype(jnp.float32)
+    head_len = _round_half_even(jax.random.uniform(k1) * p * Tf).astype(jnp.int32)
+    tail_len = _round_half_even(jax.random.uniform(k2) * p * Tf).astype(jnp.int32)
+
+    r = jnp.arange(max_raw)
+    neg_mask = (r < T) & ((r < sidx0) | (r > eidx0))
+    n_neg = jnp.sum(neg_mask)
+    # negative frame indices, ascending, packed to the front (stable sort)
+    neg_order = jnp.argsort(~neg_mask, stable=True)
+    denom = jnp.maximum(n_neg, 1)
+    r_h = jax.random.randint(k3, (), 0, denom)
+    r_t = jax.random.randint(k4, (), 0, denom)
+
+    t = jnp.arange(grid)
+    in_head = t < head_len
+    in_body = (t >= head_len) & (t < head_len + T)
+    in_tail = (t >= head_len + T) & (t < head_len + T + tail_len)
+    head_src = neg_order[(r_h + t) % denom]
+    tail_src = neg_order[(r_t + (t - head_len - T)) % denom]
+    src = jnp.where(in_body, t - head_len, jnp.where(in_head, head_src, tail_src))
+    dfeat = raw[jnp.clip(src, 0, max_raw - 1)]
+    dfeat = dfeat * (in_head | in_body | in_tail)[:, None].astype(raw.dtype)
+    # no negative frames at all -> uniform noise, like torch.rand_like
+    noise = jax.random.uniform(k5, dfeat.shape, dfeat.dtype)
+    use_noise = (n_neg == 0) & (in_head | in_tail)[:, None]
+    dfeat = jnp.where(use_noise, noise, dfeat)
+    new_len = head_len + T + tail_len
+    return dfeat, new_len, sidx0 + head_len, eidx0 + head_len
+
+
 def _one_sample(raw, raw_len, se_frac, key, *, vlen: int, max_raw: int,
                 aug_mode: str, erosion_p: float, sample_type: str,
                 label_threshold: float):
@@ -107,11 +152,17 @@ def _one_sample(raw, raw_len, se_frac, key, *, vlen: int, max_raw: int,
     sidx0 = _round_half_even(se_frac[0] * (T - 1).astype(jnp.float32)).astype(jnp.int32)
     eidx0 = _round_half_even(se_frac[1] * (T - 1).astype(jnp.float32)).astype(jnp.int32)
 
+    grid = max_raw
     if aug_mode == "erosion":
         head, tail = _sample_erosion_bounds(key, erosion_p, T, sidx0, eidx0)
+        cur = tail - head + 1
+    elif aug_mode == "dilation":
+        k_dil, key = jax.random.split(key)
+        raw, cur, sidx0, eidx0 = _dilate(k_dil, raw, T, sidx0, eidx0, erosion_p, max_raw)
+        grid = raw.shape[0]
+        head = jnp.int32(0)
     else:  # unchanged
-        head, tail = jnp.int32(0), T - 1
-    cur = tail - head + 1
+        head, cur = jnp.int32(0), T
 
     if sample_type == "samelen":
         resample = jnp.bool_(True)
@@ -120,11 +171,11 @@ def _one_sample(raw, raw_len, se_frac, key, *, vlen: int, max_raw: int,
     else:  # original
         resample = jnp.bool_(False)
 
-    W = _segment_weights(head, cur, vlen, max_raw, resample)  # (vlen, max_raw)
+    W = _segment_weights(head, cur, vlen, grid, resample)  # (vlen, grid)
     vfeat = jnp.einsum("vt,td->vd", W, raw)
 
     # raw-grid gt label resampled through the same weights
-    t = jnp.arange(max_raw)
+    t = jnp.arange(grid)
     raw_label = ((t >= sidx0) & (t <= eidx0)).astype(jnp.float32)
     label = W @ raw_label
 

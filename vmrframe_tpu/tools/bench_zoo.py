@@ -1,0 +1,178 @@
+"""Honest on-chip step timings for the whole model zoo at shipped dims.
+
+Round 1's BASELINE.md rows for BAN/CCA/ActionFormer/CPL were host-dispatch
+upper bounds measured before the fetch-barrier fix.  This tool times the
+FULL train step (fwd + loss + grad + AdamW + inference + IoU) and the eval
+step for each family with the trustworthy on-device protocol bench.py uses:
+
+- the step runs inside one jitted ``lax.fori_loop`` whose carry chains each
+  iteration to the previous one (train: the TrainState itself; eval: a
+  scalar token folded into the input features), so iterations can neither
+  be hoisted nor reordered;
+- the loop result's BYTES are fetched as the completion barrier (on the
+  tunneled device ``block_until_ready`` acks before execution finishes);
+- two loop lengths are differenced so the fetch round-trip cancels.
+
+Configs are the REFERENCE's own shipped YAML/JSON files (synthetic data,
+CCA's concept paths overridden to synthetic).  Writes docs/BENCH_ZOO.json
+and prints one JSON line per model.
+
+Usage: python -m vmrframe_tpu.tools.bench_zoo [--models SeqPAN,BAN,...]
+       [--n-small 5 --n-big 20] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+import traceback
+
+import numpy as np
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+REF = "/root/reference/config"
+
+MODELS = {
+    "SeqPAN": (f"{REF}/charades/SeqPAN.yaml", {}),
+    "BAN": (f"{REF}/charades/BAN.json", {}),
+    "CCA": (f"{REF}/anet/CCA.yaml", {"paths.concept_name": "", "paths.com_concept": ""}),
+    "ActionFormer": (f"{REF}/charades/ActionFormer.yaml", {}),
+    "CPL": (f"{REF}/charades/main_i3d_cpl.json", {}),
+}
+
+
+def _apply_overrides(cfg, overrides):
+    for dotted, value in overrides.items():
+        node = cfg
+        parts = dotted.split(".")
+        for p in parts[:-1]:
+            node = node.get(p)
+            if node is None:
+                break
+        else:
+            try:
+                node[parts[-1]] = value
+            except Exception:
+                setattr(node, parts[-1], value)
+    return cfg
+
+
+def _first_float_key(batch):
+    for k, v in batch.items():
+        if hasattr(v, "dtype") and np.issubdtype(np.asarray(v).dtype, np.floating) \
+                and np.asarray(v).ndim >= 2:
+            return k
+    raise ValueError("no float tensor in batch to perturb")
+
+
+def bench_model(name: str, n_small: int, n_big: int):
+    import jax
+    import jax.numpy as jnp
+
+    from vmrframe_tpu.config import Derived, load_config
+    from vmrframe_tpu.data.batcher import Batcher
+    from vmrframe_tpu.registry import get_model_entry
+    from vmrframe_tpu.testing import make_synthetic_data
+    from vmrframe_tpu.train.trainer import Trainer
+
+    path, overrides = MODELS[name]
+    cfg = _apply_overrides(load_config(path), overrides)
+    B = int(cfg.train.batch_size)
+    dataset, store = make_synthetic_data(cfg, seed=0, n_train=2 * B, n_test=B)
+    derived = Derived(num_words=dataset["n_words"], num_chars=dataset["n_chars"],
+                      num_train_steps=1000, steps_per_epoch=10)
+    entry = get_model_entry(cfg.model.name)
+    batcher_cls = entry.batcher_cls or Batcher
+    batcher = batcher_cls(dataset["train_set"], store, cfg, derived, "train")
+    batch = next(batcher.epoch(seed=0))
+    trainer = Trainer(cfg, derived, dataset["word_vector"])
+    rng = jax.random.PRNGKey(0)
+    state = trainer.init_state(rng, batch)
+    n_params = sum(int(np.prod(np.asarray(x).shape))
+                   for x in jax.tree_util.tree_leaves(state.params))
+    device_batch = trainer._shard_batch(batch)
+    pkey = _first_float_key(device_batch)
+
+    def make_train_loop(n):
+        @jax.jit
+        def loop(state, batch, rng):
+            def body(i, carry):
+                st, tok = carry
+                b = dict(batch)
+                b[pkey] = batch[pkey] + (tok * 1e-9 + i * 0.0).astype(batch[pkey].dtype)
+                st2, metrics = trainer._train_step(st, b, rng)
+                return (st2, metrics["loss"].astype(jnp.float32))
+            _, tok = jax.lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))
+            return tok
+        return loop
+
+    def make_eval_loop(n):
+        @jax.jit
+        def loop(state, batch):
+            def body(i, tok):
+                b = dict(batch)
+                b[pkey] = batch[pkey] + (tok * 1e-9).astype(batch[pkey].dtype)
+                metrics = trainer._eval_step(state, b)
+                return jnp.sum(metrics["ious"]).astype(jnp.float32)
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        return loop
+
+    def timed(make, args, n, reps=2):
+        fn = make(n)
+        np.asarray(fn(*args))  # compile + warm; byte fetch = barrier
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(fn(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    res = {"model": name, "batch_size": B, "params": n_params,
+           "config": os.path.relpath(path, "/root/reference")}
+    tr = (timed(make_train_loop, (state, device_batch, rng), n_big)
+          - timed(make_train_loop, (state, device_batch, rng), n_small)) / (n_big - n_small)
+    res["train_ms_per_step"] = round(tr * 1e3, 2)
+    res["train_samples_per_sec"] = round(B / tr, 1)
+    ev = (timed(make_eval_loop, (state, device_batch), n_big)
+          - timed(make_eval_loop, (state, device_batch), n_small)) / (n_big - n_small)
+    res["eval_ms_per_step"] = round(ev * 1e3, 2)
+    res["eval_qps"] = round(B / ev, 1)
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", default=",".join(MODELS))
+    ap.add_argument("--n-small", type=int, default=5)
+    ap.add_argument("--n-big", type=int, default=20)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default=os.path.join(REPO, "docs", "BENCH_ZOO.json"))
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    results = []
+    for name in args.models.split(","):
+        name = name.strip()
+        try:
+            res = bench_model(name, args.n_small, args.n_big)
+        except Exception as e:
+            res = {"model": name, "error": f"{type(e).__name__}: {e}",
+                   "trace": traceback.format_exc()[-1500:]}
+        print(json.dumps({k: v for k, v in res.items() if k != "trace"}))
+        results.append(res)
+
+    import jax
+
+    payload = {"device": str(jax.devices()[0]), "protocol": "fori_loop + byte-fetch barrier, diff of two loop lengths",
+               "results": results}
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -51,7 +51,9 @@ def convert_seqpan_family(state_dict: Dict[str, Any]) -> Dict[str, Dict]:
     constants: Dict = {}
 
     def np_(v):
-        return np.asarray(getattr(v, "numpy", lambda: v)(), dtype=np.float32)
+        # copy=True: torch .numpy() shares memory with the live tensor — a
+        # view would silently track later in-place optimizer updates
+        return np.array(getattr(v, "numpy", lambda: v)(), dtype=np.float32, copy=True)
 
     for name, value in state_dict.items():
         if any(p.search(name) for p in DEAD_PATTERNS):

@@ -16,17 +16,22 @@ import optax
 
 
 def linear_warmup_decay(base_lr: float, num_train_steps: int, warmup_proportion: float):
-    """HF get_linear_schedule_with_warmup semantics."""
-    warmup_steps = int(num_train_steps * warmup_proportion)
+    """HF get_linear_schedule_with_warmup semantics, exactly as the reference
+    drives it: utils/utils.py:96 passes ``num_train_steps * warmup_proportion``
+    as a FLOAT (no rounding), and HF's lambda keeps it float — so warmup can
+    be fractional (e.g. 1.2 steps) and the decay denominator is the float
+    ``total - warmup``.  Verified against torch step-for-step in
+    tests/test_reference_trainer_parity.py."""
+    warmup_steps = float(num_train_steps * warmup_proportion)
 
     def schedule(step):
         import jax.numpy as jnp
 
         step = jnp.asarray(step, dtype=jnp.float32)
-        warm = step / jnp.maximum(1.0, float(warmup_steps))
+        warm = step / jnp.maximum(1.0, warmup_steps)
         decay = jnp.maximum(
             0.0,
-            (num_train_steps - step) / float(max(1, num_train_steps - warmup_steps)),
+            (num_train_steps - step) / jnp.maximum(1.0, float(num_train_steps) - warmup_steps),
         )
         return base_lr * jnp.where(step < warmup_steps, warm, decay)
 

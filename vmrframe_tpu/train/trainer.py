@@ -133,7 +133,7 @@ class Trainer:
         aug = dp.video_augmentation
         aug_keys = list(aug.keys())
         aug_mode = aug_keys[0]
-        erosion_p = float(aug.get("erosion") or 0.05)
+        erosion_p = float(aug.get(aug_mode) or 0.05)  # erosion/dilation strength p
         out = device_augment_resample(
             batch["raw_vfeats"], batch["raw_lens"], batch["se_fracs"], batch["pipeline_seed"],
             vlen=self.cfg.model.vlen, aug_mode=aug_mode, erosion_p=erosion_p,
