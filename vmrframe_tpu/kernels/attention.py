@@ -140,3 +140,140 @@ def fused_dual_attention(q, f_k, f_v, t_k, t_v, s_mask, x_mask, *, interpret: bo
         interpret=interpret,
     )(flat(q), flat(f_k), flat(f_v), flat(t_k), flat(t_v), rep(s_mask), rep(x_mask))
     return s_out.reshape(B, H, L, hd), x_out.reshape(B, H, L, hd)
+
+
+def _cq_kernel(c_ref, q_ref, w4c_ref, w4q_ref, w4m_ref, cm_ref, qm_ref,
+               c2q_ref, q2c_ref):
+    """QANet context-query attention core (reference models/layers.py:402-437):
+    trilinear score + both masked softmaxes + the two value matmuls, one
+    batch element per program, score tile never leaves VMEM."""
+    c = c_ref[0]  # (Lc, D)
+    q = q_ref[0]  # (Lq, D)
+    w4c = w4c_ref[:]  # (D, 1)
+    w4q = w4q_ref[:]
+    w4m = w4m_ref[0]  # (1, D)
+    cmask = cm_ref[0]  # (1, Lc)
+    qmask = qm_ref[0]  # (1, Lq)
+
+    s0 = jax.lax.dot_general(c, w4c, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (Lc, 1)
+    s1 = jax.lax.dot_general(q, w4q, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (Lq, 1)
+    s2 = jax.lax.dot_general(c * w4m, q, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (Lc, Lq)
+    score = s2 + s0 + s1.reshape(1, -1)
+
+    row = score + (1.0 - qmask) * -1e30  # mask query columns
+    row = row - jnp.max(row, axis=1, keepdims=True)
+    e_r = jnp.exp(row)
+    s_ = e_r / jnp.sum(e_r, axis=1, keepdims=True)  # (Lc, Lq) softmax over Lq
+
+    col = score + (1.0 - cmask.reshape(-1, 1)) * -1e30  # mask context rows
+    col = col - jnp.max(col, axis=0, keepdims=True)
+    e_c = jnp.exp(col)
+    s_t = e_c / jnp.sum(e_c, axis=0, keepdims=True)  # (Lc, Lq) softmax over Lc
+
+    c2q_ref[0] = jax.lax.dot_general(
+        s_.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(c2q_ref.dtype)
+    # q2c = S_ @ (S_tᵀ @ c): associate the cheap way (Lc·Lq·D twice instead
+    # of the reference's (S_ @ S_tᵀ) @ c at Lc·Lq·Lc)
+    stc = jax.lax.dot_general(s_t.astype(c.dtype), c, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (Lq, D)
+    q2c_ref[0] = jax.lax.dot_general(
+        s_.astype(stc.dtype), stc, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(q2c_ref.dtype)
+
+
+def fused_cq_attention(context, query, w4C, w4Q, w4mlu, c_mask, q_mask, *,
+                       interpret: bool = False):
+    """(c2q, q2c), both (B, Lc, D) — the two attention outputs CQAttention
+    concatenates.  Forward-only (no custom VJP yet): callers use it on the
+    deterministic eval path."""
+    B, Lc, D = context.shape
+    Lq = query.shape[1]
+    grid = (B,)
+    blk = lambda a, b: pl.BlockSpec((1, a, b), lambda i: (i, 0, 0))
+    wspec = pl.BlockSpec((D, 1), lambda i: (0, 0))
+    mspec = pl.BlockSpec((1, 1, D), lambda i: (0, 0, 0))
+    c2q, q2c = pl.pallas_call(
+        _cq_kernel,
+        out_shape=(jax.ShapeDtypeStruct((B, Lc, D), context.dtype),
+                   jax.ShapeDtypeStruct((B, Lc, D), context.dtype)),
+        grid=grid,
+        in_specs=[blk(Lc, D), blk(Lq, D), wspec, wspec, mspec,
+                  pl.BlockSpec((1, 1, Lc), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((1, 1, Lq), lambda i: (i, 0, 0))],
+        out_specs=(blk(Lc, D), blk(Lc, D)),
+        interpret=interpret,
+    )(context, query, w4C, w4Q, w4mlu,
+      c_mask[:, None, :], q_mask[:, None, :])
+    return c2q, q2c
+
+
+# --------------------------------------------------------------- autodiff ---
+# The fused kernels are forward-only Pallas; wrapping them in custom_vjp with
+# an XLA-recompute backward makes them safe to call under jax.grad (training
+# falls back to XLA math for the backward — same FLOPs as not fusing).
+
+def _dual_reference(q, f_k, f_v, t_k, t_v, s_mask, x_mask):
+    hd = q.shape[-1]
+    scale = 1.0 / math.sqrt(hd)
+    s_scores = jnp.einsum("bhld,bhmd->bhlm", q, f_k) * scale
+    s_scores = s_scores + (1.0 - s_mask[:, None]) * -1e30
+    s_p = jax.nn.softmax(s_scores, axis=-1)
+    x_scores = jnp.einsum("bhld,bhmd->bhlm", q, t_k) * scale
+    x_scores = x_scores + (1.0 - x_mask[:, None]) * -1e30
+    x_p = jax.nn.softmax(x_scores, axis=-1)
+    return (jnp.einsum("bhlm,bhmd->bhld", s_p, f_v),
+            jnp.einsum("bhlm,bhmd->bhld", x_p, t_v))
+
+
+@jax.custom_vjp
+def fused_dual_attention_ad(q, f_k, f_v, t_k, t_v, s_mask, x_mask):
+    return fused_dual_attention(q, f_k, f_v, t_k, t_v, s_mask, x_mask)
+
+
+def _dual_fwd(q, f_k, f_v, t_k, t_v, s_mask, x_mask):
+    return fused_dual_attention(q, f_k, f_v, t_k, t_v, s_mask, x_mask), \
+        (q, f_k, f_v, t_k, t_v, s_mask, x_mask)
+
+
+def _dual_bwd(res, g):
+    _, vjp = jax.vjp(_dual_reference, *res)
+    grads = vjp(g)
+    return grads[:5] + (None, None)
+
+
+fused_dual_attention_ad.defvjp(_dual_fwd, _dual_bwd)
+
+
+def _cq_reference(context, query, w4C, w4Q, w4mlu, c_mask, q_mask):
+    s0 = jnp.matmul(context, w4C)
+    s1 = jnp.matmul(query, w4Q).transpose(0, 2, 1)
+    s2 = jnp.einsum("bld,bmd->blm", context * w4mlu[0], query)
+    score = s0 + s1 + s2
+    s_ = jax.nn.softmax(score + (1.0 - q_mask[:, None, :]) * -1e30, axis=2)
+    s_t = jax.nn.softmax(score + (1.0 - c_mask[:, :, None]) * -1e30, axis=1).transpose(0, 2, 1)
+    c2q = jnp.matmul(s_, query)
+    q2c = jnp.matmul(jnp.matmul(s_, s_t), context)
+    return c2q, q2c
+
+
+@jax.custom_vjp
+def fused_cq_attention_ad(context, query, w4C, w4Q, w4mlu, c_mask, q_mask):
+    return fused_cq_attention(context, query, w4C, w4Q, w4mlu, c_mask, q_mask)
+
+
+def _cq_fwd(context, query, w4C, w4Q, w4mlu, c_mask, q_mask):
+    return fused_cq_attention(context, query, w4C, w4Q, w4mlu, c_mask, q_mask), \
+        (context, query, w4C, w4Q, w4mlu, c_mask, q_mask)
+
+
+def _cq_bwd(res, g):
+    _, vjp = jax.vjp(_cq_reference, *res)
+    grads = vjp(g)
+    return grads[:5] + (None, None)
+
+
+fused_cq_attention_ad.defvjp(_cq_fwd, _cq_bwd)

@@ -36,27 +36,18 @@ REF = "/root/reference/config"
 
 MODELS = {
     "SeqPAN": (f"{REF}/charades/SeqPAN.yaml", {}),
-    "BAN": (f"{REF}/charades/BAN.json", {}),
-    "CCA": (f"{REF}/anet/CCA.yaml", {"paths.concept_name": "", "paths.com_concept": ""}),
+    # the reference's BAN.json carries no text-length key (its collate pads
+    # per-batch, BANlib pad_collate); our static-shape batcher needs one
+    "BAN": (f"{REF}/charades/BAN.json", {"model.tlen": 25}),
+    "CCA": (f"{REF}/anet/CCA.yaml", {"paths.concept_name": "", "paths.com_concept": "",
+                                     "model.tlen": 25}),
     "ActionFormer": (f"{REF}/charades/ActionFormer.yaml", {}),
-    "CPL": (f"{REF}/charades/main_i3d_cpl.json", {}),
+    "CPL": (f"{REF}/charades/main_i3d_cpl.json", {"model.tlen": 25}),
 }
 
 
 def _apply_overrides(cfg, overrides):
-    for dotted, value in overrides.items():
-        node = cfg
-        parts = dotted.split(".")
-        for p in parts[:-1]:
-            node = node.get(p)
-            if node is None:
-                break
-        else:
-            try:
-                node[parts[-1]] = value
-            except Exception:
-                setattr(node, parts[-1], value)
-    return cfg
+    return cfg.updated(overrides) if overrides else cfg
 
 
 def _first_float_key(batch):
@@ -95,48 +86,45 @@ def bench_model(name: str, n_small: int, n_big: int):
     device_batch = trainer._shard_batch(batch)
     pkey = _first_float_key(device_batch)
 
-    def make_train_loop(n):
-        @jax.jit
-        def loop(state, batch, rng):
-            def body(i, carry):
-                st, tok = carry
-                b = dict(batch)
-                b[pkey] = batch[pkey] + (tok * 1e-9 + i * 0.0).astype(batch[pkey].dtype)
-                st2, metrics = trainer._train_step(st, b, rng)
-                return (st2, metrics["loss"].astype(jnp.float32))
-            _, tok = jax.lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))
-            return tok
-        return loop
+    # runtime loop bound: fori_loop lowers to while_loop, so ONE compile
+    # serves both loop lengths (compile time dominates on the tunnel)
+    @jax.jit
+    def train_loop(state, batch, rng, n):
+        def body(i, carry):
+            st, tok = carry
+            b = dict(batch)
+            b[pkey] = batch[pkey] + (tok * 1e-9 + i * 0.0).astype(batch[pkey].dtype)
+            st2, metrics = trainer._train_step(st, b, rng)
+            return (st2, metrics["loss"].astype(jnp.float32))
+        _, tok = jax.lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))
+        return tok
 
-    def make_eval_loop(n):
-        @jax.jit
-        def loop(state, batch):
-            def body(i, tok):
-                b = dict(batch)
-                b[pkey] = batch[pkey] + (tok * 1e-9).astype(batch[pkey].dtype)
-                metrics = trainer._eval_step(state, b)
-                return jnp.sum(metrics["ious"]).astype(jnp.float32)
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-        return loop
+    @jax.jit
+    def eval_loop(state, batch, n):
+        def body(i, tok):
+            b = dict(batch)
+            b[pkey] = batch[pkey] + (tok * 1e-9).astype(batch[pkey].dtype)
+            metrics = trainer._eval_step(state, b)
+            return jnp.sum(metrics["ious"]).astype(jnp.float32)
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    def timed(make, args, n, reps=2):
-        fn = make(n)
-        np.asarray(fn(*args))  # compile + warm; byte fetch = barrier
+    def timed(fn, args, n, reps=2):
+        np.asarray(fn(*args, jnp.int32(n)))  # compile + warm; byte fetch = barrier
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            np.asarray(fn(*args))
+            np.asarray(fn(*args, jnp.int32(n)))
             best = min(best, time.perf_counter() - t0)
         return best
 
     res = {"model": name, "batch_size": B, "params": n_params,
            "config": os.path.relpath(path, "/root/reference")}
-    tr = (timed(make_train_loop, (state, device_batch, rng), n_big)
-          - timed(make_train_loop, (state, device_batch, rng), n_small)) / (n_big - n_small)
+    tr = (timed(train_loop, (state, device_batch, rng), n_big)
+          - timed(train_loop, (state, device_batch, rng), n_small)) / (n_big - n_small)
     res["train_ms_per_step"] = round(tr * 1e3, 2)
     res["train_samples_per_sec"] = round(B / tr, 1)
-    ev = (timed(make_eval_loop, (state, device_batch), n_big)
-          - timed(make_eval_loop, (state, device_batch), n_small)) / (n_big - n_small)
+    ev = (timed(eval_loop, (state, device_batch), n_big)
+          - timed(eval_loop, (state, device_batch), n_small)) / (n_big - n_small)
     res["eval_ms_per_step"] = round(ev * 1e3, 2)
     res["eval_qps"] = round(B / ev, 1)
     return res
@@ -163,15 +151,15 @@ def main():
         except Exception as e:
             res = {"model": name, "error": f"{type(e).__name__}: {e}",
                    "trace": traceback.format_exc()[-1500:]}
-        print(json.dumps({k: v for k, v in res.items() if k != "trace"}))
+        print(json.dumps({k: v for k, v in res.items() if k != "trace"}), flush=True)
         results.append(res)
+        import jax
 
-    import jax
-
-    payload = {"device": str(jax.devices()[0]), "protocol": "fori_loop + byte-fetch barrier, diff of two loop lengths",
-               "results": results}
-    with open(args.out, "w") as f:
-        json.dump(payload, f, indent=2)
+        payload = {"device": str(jax.devices()[0]),
+                   "protocol": "fori_loop + byte-fetch barrier, diff of two loop lengths",
+                   "results": results}
+        with open(args.out, "w") as f:  # incremental: survive timeouts
+            json.dump(payload, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -94,15 +94,67 @@ def export_labels(cfg, derived, dataset, features, state, trainer, out_path: str
     return save_list
 
 
+def import_external_labels(result_path: str, out_path: str, apply_sigmoid=None):
+    """Convert a THIRD-PARTY teacher result pickle into the teacher-label
+    format the distill batchers consume ([vid, (2, L) float32] list).
+
+    Mirrors the reference's external-teacher converters:
+    - EMAT style (scripts/generate_EMAT_label.py): tuples
+      ``(vid, se_logits, vlen)``; logits get a sigmoid.
+    - GMD style (scripts/generate_GMD_label.py): dicts with
+      ``vid`` / ``vlen`` / ``prop_logits``; logits stay raw.
+
+    Both reference scripts slice ``se_logits[:int(vlen)]`` on a (2, L)
+    array — a no-op for vlen >= 2; intentionally not reproduced.
+    ``apply_sigmoid`` overrides the per-format default.
+    """
+    with open(result_path, "rb") as f:
+        entries = pickle.load(f)
+    out = []
+    for sample in entries:
+        if isinstance(sample, dict):  # GMD-style result dicts
+            vid = sample["vid"]
+            arr = np.stack(sample["prop_logits"]) if isinstance(sample["prop_logits"], list) \
+                else np.asarray(sample["prop_logits"])
+            do_sig = bool(apply_sigmoid) if apply_sigmoid is not None else False
+        else:  # EMAT-style (vid, se_logits, vlen) tuples
+            vid, arr = sample[0], np.asarray(sample[1], dtype=np.float32)
+            do_sig = bool(apply_sigmoid) if apply_sigmoid is not None else True
+        arr = np.asarray(arr, dtype=np.float32)
+        if arr.ndim != 2:
+            raise ValueError(f"teacher logits for {vid} must be 2D, got {arr.shape}")
+        if arr.shape[0] != 2 and arr.shape[1] == 2:
+            arr = arr.T  # time-major input -> (2, L)
+        if do_sig:
+            arr = 1.0 / (1.0 + np.exp(-arr))
+        out.append([str(vid), arr.astype(np.float32)])
+    with open(out_path, "wb") as f:
+        pickle.dump(out, f, protocol=pickle.HIGHEST_PROTOCOL)
+    return out
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--config", required=True)
-    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--import-external", metavar="RESULT_PKL",
+                        help="convert a third-party (EMAT/GMD-style) result "
+                             "pickle instead of running a checkpoint")
+    parser.add_argument("--sigmoid", choices=["auto", "yes", "no"], default="auto",
+                        help="sigmoid the imported logits (auto: EMAT yes, GMD no)")
+    parser.add_argument("--config")
+    parser.add_argument("--checkpoint")
     parser.add_argument("--out", required=True)
     parser.add_argument("--split", default="train_set")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--seed", type=int, default=1234)
     args = parser.parse_args(argv)
+
+    if args.import_external:
+        sig = {"auto": None, "yes": True, "no": False}[args.sigmoid]
+        out = import_external_labels(args.import_external, args.out, apply_sigmoid=sig)
+        print(f"imported {len(out)} external teacher curves to {args.out}")
+        return
+    if not args.config or not args.checkpoint:
+        parser.error("--config and --checkpoint are required unless --import-external")
 
     import jax
 
