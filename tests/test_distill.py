@@ -80,8 +80,12 @@ def test_frozen_teacher_params_stay_fixed(charades_cfg, data):
     teacher_before = jax.tree_util.tree_map(np.asarray, state.params["teach_model"])
     student_before = np.asarray(jax.tree_util.tree_leaves(state.params["predictor"])[0]).copy()
     step = trainer.compiled_train_step()
-    for batch in train_b.epoch(seed=0):
-        state, _ = step(state, trainer._shard_batch(batch), rng)
+    # two epochs = two optimizer steps: with the HF-exact float-warmup
+    # schedule (see test_reference_trainer_parity) the FIRST step's lr is
+    # exactly 0 (reference-faithful), so the student only moves on step 2
+    for seed in (0, 1):
+        for batch in train_b.epoch(seed=seed):
+            state, _ = step(state, trainer._shard_batch(batch), rng)
     for before, after in zip(jax.tree_util.tree_leaves(teacher_before),
                              jax.tree_util.tree_leaves(state.params["teach_model"])):
         np.testing.assert_array_equal(np.asarray(before), np.asarray(after))

@@ -71,3 +71,46 @@ def test_banded_gradients_match_xla():
     for a, b, name in zip(gk, gx, ("dq", "dk", "dv")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5, rtol=1e-4,
                                    err_msg=f"{name} diverges from the XLA band path")
+
+
+def test_masked_mhca_banded_path_matches_xla():
+    """The auto-enabled kernel path inside MaskedMHCA is numerically the
+    XLA band-mask path (same params, same inputs)."""
+    from vmrframe_tpu.layers.actionformer import MaskedMHCA
+
+    rng = np.random.default_rng(2)
+    B, T, C, H, window = 2, 512, 64, 4, 19
+    x = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
+    lens = np.array([T, T - 70])
+    mask = jnp.asarray((np.arange(T)[None] < lens[:, None]).astype(np.float32))
+
+    xla_mod = MaskedMHCA(C, H, window_size=window, pallas_min_len=-1)
+    kern_mod = MaskedMHCA(C, H, window_size=window, pallas_min_len=256,
+                          pallas_interpret=True)
+    params = xla_mod.init(jax.random.PRNGKey(0), x, mask)
+    want, want_mask = xla_mod.apply(params, x, mask)
+    got, got_mask = kern_mod.apply(params, x, mask)
+    np.testing.assert_allclose(np.asarray(got_mask), np.asarray(want_mask))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_masked_mhca_banded_gate_conditions():
+    """Eligibility: rel-PE, short T, live attention dropout, and explicit
+    disable all fall back to the XLA path."""
+    from vmrframe_tpu.layers.actionformer import MaskedMHCA
+
+    m = MaskedMHCA(64, 4, window_size=19, pallas_min_len=256, pallas_interpret=True)
+    assert m._use_banded_kernel(512, 512, True)
+    assert not m._use_banded_kernel(192, 192, True)          # below threshold
+    assert not m._use_banded_kernel(512, 256, True)          # Tq != Tk
+    assert not MaskedMHCA(64, 4, window_size=19, use_rel_pe=True,
+                          pallas_min_len=256, pallas_interpret=True
+                          )._use_banded_kernel(512, 512, True)
+    assert not MaskedMHCA(64, 4, window_size=19, attn_pdrop=0.1,
+                          pallas_min_len=256, pallas_interpret=True
+                          )._use_banded_kernel(512, 512, False)  # live dropout
+    assert not MaskedMHCA(64, 4, window_size=19, pallas_min_len=-1,
+                          pallas_interpret=True)._use_banded_kernel(512, 512, True)
+    assert not MaskedMHCA(64, 4, window_size=-1, pallas_min_len=256,
+                          pallas_interpret=True)._use_banded_kernel(512, 512, True)

@@ -41,7 +41,7 @@ NEG = -1e30
 def _fwd_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale, half, T, K_WIN):
     i = pl.program_id(1)
     q_start = i * TILE
-    start = jnp.clip(q_start - (K_WIN - TILE) // 2, 0, T - K_WIN)
+    start = pl.multiple_of(jnp.clip(q_start - (K_WIN - TILE) // 2, 0, T - K_WIN), TILE)
     q = q_ref[0]  # (TILE, hd)
     k = k_ref[0, pl.ds(start, K_WIN), :]  # (K_WIN, hd)
     v = v_ref[0, pl.ds(start, K_WIN), :]
@@ -63,7 +63,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale, half, T, K_WIN):
 def _dq_kernel(q_ref, k_ref, v_ref, m_ref, g_ref, dq_ref, *, scale, half, T, K_WIN):
     i = pl.program_id(1)
     q_start = i * TILE
-    start = jnp.clip(q_start - (K_WIN - TILE) // 2, 0, T - K_WIN)
+    start = pl.multiple_of(jnp.clip(q_start - (K_WIN - TILE) // 2, 0, T - K_WIN), TILE)
     q = q_ref[0]
     k = k_ref[0, pl.ds(start, K_WIN), :]
     v = v_ref[0, pl.ds(start, K_WIN), :]
@@ -91,7 +91,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, m_ref, g_ref, dk_ref, dv_ref, *, scale, hal
     recomputes the softmax for the query window that can reach them."""
     j = pl.program_id(1)
     k_start = j * TILE
-    start = jnp.clip(k_start - (K_WIN - TILE) // 2, 0, T - K_WIN)  # query window
+    start = pl.multiple_of(jnp.clip(k_start - (K_WIN - TILE) // 2, 0, T - K_WIN), TILE)  # query window
     k = k_ref[0, pl.ds(k_start, TILE), :]  # (TILE, hd) keys owned
     v = v_ref[0, pl.ds(k_start, TILE), :]
     q = q_ref[0, pl.ds(start, K_WIN), :]  # (K_WIN, hd) queries that reach them
@@ -112,7 +112,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, m_ref, g_ref, dk_ref, dv_ref, *, scale, hal
     # <= K_WIN + (K_WIN - TILE) so a K2 = 2*K_WIN - TILE slice always covers
     # (clamped to T when the sequence is barely longer than one window).
     K2 = min(2 * K_WIN - TILE, T)
-    n_start = jnp.clip(start - (K_WIN - TILE) // 2, 0, T - K2)
+    n_start = pl.multiple_of(jnp.clip(start - (K_WIN - TILE) // 2, 0, T - K2), TILE)
     k_full = k_ref[0, pl.ds(n_start, K2), :]
     kvm_full = m_ref[0, :, pl.ds(n_start, K2)]
     s_full = jax.lax.dot_general(

@@ -6,11 +6,15 @@ channel-LAST (B, T, C) so projections are plain MXU matmuls and XLA fuses the
 masks into them.  Masks are (B, T) float {0,1}.
 
 Local window attention: the reference implements Longformer-style sliding
-windows with as_strided chunk tricks (blocks.py:309-641).  At these lengths
-(T ≤ a few thousand) a full attention matrix with an additive band mask is
+windows with as_strided chunk tricks (blocks.py:309-641).  At short lengths
+(T ≤ a few hundred) a full attention matrix with an additive band mask is
 the same math, exactly, and maps straight onto the MXU — so that is what
-``MaskedMHCA`` does (``window_size > 0`` adds the band mask).  A Pallas
-blocked kernel can replace it for very long sequences later.
+``MaskedMHCA`` computes by default (``window_size > 0`` adds the band mask).
+For the long-sequence regime the blocked Pallas kernel
+(kernels/window_attention.py) computes only the band — O(T·w) instead of
+O(T²) — and is auto-enabled when T ≥ ``pallas_min_len`` (threshold measured
+on-chip, docs/BENCH_KERNELS.json) and the semantics match exactly (no
+rel-PE, no attention dropout).
 """
 
 from __future__ import annotations
@@ -103,6 +107,30 @@ class MaskedMHCA(nn.Module):
     proj_pdrop: float = 0.0
     window_size: int = -1
     use_rel_pe: bool = False  # learned per-head relative PE inside the window
+    # banded Pallas kernel auto-enable: used when window_size > 0, Tq >= this,
+    # and the semantics are identical (no rel-PE, no live attention dropout).
+    # -1 disables.  Default calibrated from docs/BENCH_KERNELS.json.
+    pallas_min_len: int = 512
+    pallas_interpret: bool = False  # CPU testing escape hatch
+
+    def _use_banded_kernel(self, Tq: int, Tk: int, deterministic: bool) -> bool:
+        if self.window_size <= 0 or self.use_rel_pe or self.pallas_min_len < 0:
+            return False
+        if not (deterministic or self.attn_pdrop == 0.0):
+            return False
+        if Tq != Tk or Tq < self.pallas_min_len:
+            return False
+        # the kernel needs one full key window to fit the padded length
+        half = self.window_size // 2
+        k_win = 128 + 2 * ((half + 127) // 128) * 128
+        t_pad = ((Tq + 127) // 128) * 128
+        if t_pad < k_win:
+            return False
+        if self.pallas_interpret:
+            return True
+        from vmrframe_tpu.kernels.attention import pallas_supported
+
+        return pallas_supported()
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
@@ -136,6 +164,16 @@ class MaskedMHCA(nn.Module):
         qh = q.reshape(B, Tq, self.n_head, n_ch).transpose(0, 2, 1, 3)
         kh = k.reshape(B, Tk, self.n_head, n_ch).transpose(0, 2, 1, 3)
         vh = v.reshape(B, Tk, self.n_head, n_ch).transpose(0, 2, 1, 3)
+
+        if self._use_banded_kernel(Tq, Tk, deterministic):
+            from vmrframe_tpu.kernels.window_attention import banded_attention
+
+            out_h = banded_attention(qh, kh, vh, kv_mask, self.window_size,
+                                     interpret=self.pallas_interpret)
+            out = out_h.transpose(0, 2, 1, 3).reshape(B, Tq, self.n_embd)
+            out = proj("proj")(out)
+            out = nn.Dropout(self.proj_pdrop)(out, deterministic=deterministic)
+            return out * qx_mask[..., None], qx_mask
 
         att = jnp.einsum("bhqd,bhkd->bhqk", qh * scale, kh)
         neg = jnp.finfo(att.dtype).min
@@ -215,6 +253,7 @@ class TransformerBlock(nn.Module):
     path_pdrop: float = 0.0
     mha_win_size: int = -1
     use_rel_pe: bool = False
+    pallas_min_len: int = 512
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
@@ -222,7 +261,8 @@ class TransformerBlock(nn.Module):
             self.n_embd, self.n_head,
             n_qx_stride=self.n_ds_stride, n_kv_stride=self.n_ds_stride,
             attn_pdrop=self.attn_pdrop, proj_pdrop=self.proj_pdrop,
-            window_size=self.mha_win_size, use_rel_pe=self.use_rel_pe, name="attn",
+            window_size=self.mha_win_size, use_rel_pe=self.use_rel_pe,
+            pallas_min_len=self.pallas_min_len, name="attn",
         )(ChannelLayerNorm(name="ln1")(x), mask, deterministic)
 
         if self.n_ds_stride > 1:
@@ -273,6 +313,7 @@ class ConvTransformerBackbone(nn.Module):
     path_pdrop: float = 0.0
     use_abs_pe: bool = False
     use_rel_pe: bool = False
+    pallas_min_len: int = 512
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
@@ -296,7 +337,8 @@ class ConvTransformerBackbone(nn.Module):
                 self.n_embd, self.n_head, n_ds_stride=1,
                 attn_pdrop=self.attn_pdrop, proj_pdrop=self.proj_pdrop,
                 path_pdrop=self.path_pdrop, mha_win_size=self.mha_win_size[0],
-                use_rel_pe=self.use_rel_pe, name=f"stem_{idx}",
+                use_rel_pe=self.use_rel_pe, pallas_min_len=self.pallas_min_len,
+                name=f"stem_{idx}",
             )(x, mask, deterministic)
 
         out_feats, out_masks = [x], [mask]
@@ -305,7 +347,8 @@ class ConvTransformerBackbone(nn.Module):
                 self.n_embd, self.n_head, n_ds_stride=self.scale_factor,
                 attn_pdrop=self.attn_pdrop, proj_pdrop=self.proj_pdrop,
                 path_pdrop=self.path_pdrop, mha_win_size=self.mha_win_size[1 + idx],
-                use_rel_pe=self.use_rel_pe, name=f"branch_{idx}",
+                use_rel_pe=self.use_rel_pe, pallas_min_len=self.pallas_min_len,
+                name=f"branch_{idx}",
             )(x, mask, deterministic)
             out_feats.append(x)
             out_masks.append(mask)

@@ -130,10 +130,15 @@ class DualMultiAttention(nn.Module):
     num_heads: int
     droprate: float = 0.0
     # Fused Pallas dual-attention kernel (kernels/attention.py).  Measured on
-    # v5e at SeqPAN's shapes (B=128, H=4, L=64, hd=32): XLA's own fusion wins
-    # (~1.0M q/s vs ~0.47M with the per-(b,h)-program kernel — tiles this
-    # small underutilize the MXU), so the kernel is opt-in for now; it's the
-    # right tool once L grows past VMEM-friendly fusion sizes.
+    # v5e (docs/BENCH_KERNELS.json, round 2): XLA's own fusion wins at BOTH
+    # shipped regimes — Charades B=128/H=4/L=64/hd=32 (0.016 vs 0.24 ms) and
+    # TACoS B=64/H=8/L=256/hd=16 (0.60 vs 1.43 ms).  Tiles this small
+    # underutilize the MXU and the per-(b,h) grid serializes; XLA fuses the
+    # two softmaxes into the matmuls already.  PARKED opt-in: kept correct
+    # (tests/test_pallas_kernels.py) for the regime where L·M outgrows
+    # VMEM-friendly fusion, which no shipped config reaches.  The Pallas
+    # kernel that DOES win in production is the banded window-attention one
+    # (kernels/window_attention.py, auto-enabled in layers/actionformer.py).
     use_pallas: bool = False
 
     @nn.compact

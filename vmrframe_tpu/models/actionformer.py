@@ -82,6 +82,8 @@ class ActionFormer(nn.Module):
                 proj_pdrop=train_cfg.dropout,
                 path_pdrop=train_cfg.droppath,
                 use_abs_pe=af.use_abs_pe,
+                use_rel_pe=bool(af.get("use_rel_pe", False)),
+                pallas_min_len=int(af.get("pallas_min_len", 512)),
                 name="backbone",
             )(feats, masks, deterministic)
         if af.fpn_type == "fpn":

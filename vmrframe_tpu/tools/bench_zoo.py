@@ -43,6 +43,11 @@ MODELS = {
                                      "model.tlen": 25}),
     "ActionFormer": (f"{REF}/charades/ActionFormer.yaml", {}),
     "CPL": (f"{REF}/charades/main_i3d_cpl.json", {"model.tlen": 25}),
+    # long-video regime: T=2304, window 19 — the banded Pallas kernel
+    # auto-enables (vs the ...XLA twin which forces the band-mask path)
+    "ActionFormerLong": (f"{REPO}/configs/tacos_actionformer_long.yaml", {}),
+    "ActionFormerLongXLA": (f"{REPO}/configs/tacos_actionformer_long.yaml",
+                            {"actionformer.pallas_min_len": -1}),
 }
 
 
