@@ -2,6 +2,8 @@
 time->index equivalence the reference's scripts/repalce_time_to_index.py
 demonstrates."""
 
+import json
+import os
 import pickle
 
 import numpy as np
@@ -90,3 +92,22 @@ def test_time_to_index_matches_iou_argmax():
         ediff = int(ei) - time_idx(e, duration, L)
         assert sdiff in (0, 1), (s, duration, L, sdiff)
         assert ediff in (0, -1), (e, duration, L, ediff)
+
+
+def test_prepare_ban_one_command(tmp_path):
+    """--mode prepare-ban cleans both splits of the shipped charades
+    annotations into the charades_clean layout BAN.json points at
+    (reference config/charades/BAN.json:10-11)."""
+    from vmrframe_tpu.tools.clean_data import prepare_ban
+
+    src = "/root/reference/data/charades_gt"
+    if not os.path.isdir(src):
+        pytest.skip("reference annotations not present")
+    written = prepare_ban(src, str(tmp_path / "charades_clean"))
+    assert [os.path.basename(p) for p, _ in written] == ["train.json", "test.json"]
+    for path, n in written:
+        with open(path, encoding="utf8") as f:
+            records = json.load(f)
+        assert len(records) == n and n > 0
+        vid, duration, span, sentence, sample_id = records[0]
+        assert duration >= span[1] and isinstance(sample_id, int)

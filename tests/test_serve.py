@@ -1,0 +1,88 @@
+"""Serving path (tools/serve.py): micro-batched prediction service +
+HTTP front end. The reference has no serving story; this is the
+packaged batched-inference loop (ROADMAP item 6)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def service_and_data():
+    from vmrframe_tpu.tools.serve import build_service
+
+    service, dataset = build_service(
+        "tests/configs/charades_seqpan.yaml", None, True, 8, 5.0,
+        n_synthetic=16)
+    yield service, dataset
+    service.close()
+
+
+def test_predict_single(service_and_data):
+    service, dataset = service_and_data
+    rec = dataset["test_set"][0]
+    out = service.predict(rec["vid"], rec["sentence"], rec["duration"])
+    s, e = out["pred_time"]
+    assert 0.0 <= s <= e <= rec["duration"] + 1e-6
+    f0, f1 = out["pred_frac"]
+    assert 0.0 <= f0 <= f1 <= 1.0
+
+
+def test_predict_unknown_vid_raises(service_and_data):
+    service, _ = service_and_data
+    with pytest.raises(KeyError):
+        service.predict("no_such_video", "a sentence")
+
+
+def test_microbatching_concurrent_requests_consistent(service_and_data):
+    """N concurrent requests (micro-batched together) return the same
+    predictions as the same requests issued one at a time."""
+    service, dataset = service_and_data
+    recs = dataset["test_set"][:8]
+    serial = [service.predict(r["vid"], r["sentence"], r["duration"]) for r in recs]
+
+    results = [None] * len(recs)
+
+    def one(i):
+        r = recs[i]
+        results[i] = service.predict(r["vid"], r["sentence"], r["duration"])
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(len(recs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for a, b in zip(serial, results):
+        np.testing.assert_allclose(a["pred_frac"], b["pred_frac"], atol=1e-6)
+
+
+def test_http_roundtrip(service_and_data):
+    from vmrframe_tpu.tools.serve import make_http_server
+
+    service, dataset = service_and_data
+    server = make_http_server(service, 8937)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen("http://127.0.0.1:8937/healthz", timeout=30) as r:
+            assert json.loads(r.read())["ok"] is True
+        rec = dataset["test_set"][1]
+        body = json.dumps({"vid": rec["vid"], "sentence": rec["sentence"],
+                           "duration": rec["duration"]}).encode("utf8")
+        req = urllib.request.Request("http://127.0.0.1:8937/predict", data=body,
+                                     headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        assert len(out["pred_time"]) == 2
+        # bad request: unknown vid -> 400
+        bad = json.dumps({"vid": "nope", "sentence": "x"}).encode("utf8")
+        req = urllib.request.Request("http://127.0.0.1:8937/predict", data=bad,
+                                     headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()

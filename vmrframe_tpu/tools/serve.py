@@ -1,0 +1,316 @@
+"""Batched moment-retrieval serving — the online-inference path.
+
+The reference has no serving story (its main.py --eval is an offline metrics
+pass); this tool packages the jitted eval step as a production-style service:
+
+- ONE compiled eval step at a fixed batch shape (recompilation-free; the
+  first request pays the compile, everything after runs at on-chip speed);
+- micro-batching: concurrent requests are queued and dispatched together
+  when ``batch_size`` accumulate or ``flush_ms`` elapse, whichever first —
+  the standard accelerator-serving latency/throughput trade;
+- host work (tokenize → vocab ids → feature fetch → static-shape batch
+  assembly) runs in the dispatcher thread while the device executes the
+  previous micro-batch, so H2D/compute overlap batch-to-batch;
+- localhost HTTP JSON API (stdlib ThreadingHTTPServer — no extra deps):
+  POST /predict  {"vid": ..., "sentence": ...}            -> {"pred_time": [s, e], ...}
+  POST /predict  [{...}, {...}]                            -> [{...}, {...}]
+  GET  /healthz                                            -> {"ok": true}
+
+``--selftest`` boots the service on synthetic data, fires concurrent
+requests through real HTTP, and prints latency percentiles + throughput.
+
+Usage:
+  python -m vmrframe_tpu.tools.serve --config <yaml> [--checkpoint <dir>]
+      [--port 8901] [--batch-size N] [--flush-ms 5] [--synthetic]
+  python -m vmrframe_tpu.tools.serve --config tests/configs/charades_seqpan.yaml --selftest
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import threading
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+class MomentRetrievalService:
+    """Owns the model state + compiled eval step; turns (vid, sentence)
+    requests into predicted [start, end] seconds via micro-batched device
+    execution."""
+
+    def __init__(self, cfg, derived, word_dict, char_dict, word_vector,
+                 feature_store, checkpoint: Optional[str] = None,
+                 batch_size: Optional[int] = None, flush_ms: float = 5.0):
+        from vmrframe_tpu.train.trainer import Trainer
+
+        self.cfg = cfg
+        self.derived = derived
+        self.word_dict = word_dict
+        self.char_dict = char_dict
+        self.store = feature_store
+        self.batch_size = int(batch_size or cfg.train.batch_size)
+        self.flush_ms = float(flush_ms)
+        self.trainer = Trainer(cfg, derived, word_vector)
+
+        import jax
+
+        warm_vid = next(iter(feature_store.lengths()))
+        warm = self._assemble([self._make_record(warm_vid, "warm up", 1.0)])
+        self.state = self.trainer.init_state(jax.random.PRNGKey(0), warm)
+        if checkpoint:
+            from vmrframe_tpu.train.checkpoints import restore_into_state
+
+            self.state = restore_into_state(checkpoint, self.state)
+        self._eval_step = self.trainer.compiled_eval_step()
+        # pay the compile before serving traffic
+        self._run(warm)
+
+        self._queue: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._dispatch_loop, daemon=True)
+        self._worker.start()
+
+    # ---------- request → record → batch ----------
+
+    def _make_record(self, vid: str, sentence: str, duration: float) -> dict:
+        from vmrframe_tpu.data.tokenize import word_tokenize
+
+        words = word_tokenize(sentence)[: int(self.cfg.model.tlen)]
+        unk = self.word_dict.get("<UNK>", 1)
+        cunk = self.char_dict.get("<UNK>", 1)
+        return {
+            "vid": vid,
+            "se_time": [0.0, float(duration)],
+            "duration": float(duration),
+            "se_frac": [0.0, 1.0],
+            "sentence": sentence,
+            "words": words,
+            "wids": [self.word_dict.get(w, unk) for w in words],
+            "cids": [[self.char_dict.get(c, cunk) for c in w] for w in words],
+        }
+
+    def _assemble(self, records: List[dict]):
+        """Static-shape batch from arbitrary records (test-mode Batcher:
+        identity augmentation, sample_mask padding to batch_size)."""
+        from vmrframe_tpu.data.batcher import Batcher
+        from vmrframe_tpu.registry import get_model_entry
+
+        entry = get_model_entry(self.cfg.model.name)
+        batcher_cls = entry.batcher_cls or Batcher
+        b = batcher_cls(records, self.store, self.cfg, self.derived, "test")
+        return next(b.epoch(seed=0, shuffle=False))
+
+    def _run(self, batch) -> np.ndarray:
+        metrics = self._eval_step(self.state, self.trainer._shard_batch(batch))
+        return np.asarray(metrics["props"])  # (B, 2) predicted fractions
+
+    # ---------- micro-batching ----------
+
+    def _dispatch_loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            pending = [first]
+            deadline = time.perf_counter() + self.flush_ms / 1e3
+            while len(pending) < self.batch_size:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    pending.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                batch = self._assemble([p["record"] for p in pending])
+                props = self._run(batch)
+                for i, p in enumerate(pending):
+                    dur = p["record"]["duration"]
+                    p["result"] = {
+                        "vid": p["record"]["vid"],
+                        "sentence": p["record"]["sentence"],
+                        "pred_time": [float(props[i, 0]) * dur, float(props[i, 1]) * dur],
+                        "pred_frac": [float(props[i, 0]), float(props[i, 1])],
+                    }
+                    p["event"].set()
+            except Exception as e:  # surface assembly/device errors per request
+                for p in pending:
+                    p["error"] = f"{type(e).__name__}: {e}"
+                    p["event"].set()
+
+    def predict(self, vid: str, sentence: str, duration: Optional[float] = None,
+                timeout: float = 60.0) -> Dict:
+        """Thread-safe single prediction (micro-batched under the hood)."""
+        if vid not in self.store:
+            raise KeyError(f"unknown vid: {vid}")
+        if duration is None:
+            duration = float(self.store.lengths()[str(vid)])
+        item = {"record": self._make_record(vid, sentence, duration),
+                "event": threading.Event()}
+        self._queue.put(item)
+        if not item["event"].wait(timeout):
+            raise TimeoutError("prediction timed out")
+        if "error" in item:
+            raise RuntimeError(item["error"])
+        return item["result"]
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+
+# ---------- HTTP front end ----------
+
+
+def make_http_server(service: MomentRetrievalService, port: int):
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload):
+            body = json.dumps(payload).encode("utf8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"ok": True, "batch_size": service.batch_size})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length))
+                reqs = req if isinstance(req, list) else [req]
+                out = [service.predict(r["vid"], r["sentence"], r.get("duration"))
+                       for r in reqs]
+                self._send(200, out if isinstance(req, list) else out[0])
+            except (KeyError, TimeoutError, RuntimeError, ValueError) as e:
+                self._send(400, {"error": str(e)})
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+
+# ---------- bootstrapping ----------
+
+
+def build_service(cfg_path: str, checkpoint: Optional[str], synthetic: bool,
+                  batch_size: Optional[int], flush_ms: float,
+                  n_synthetic: int = 64):
+    from vmrframe_tpu.config import Derived, load_config
+
+    cfg = load_config(cfg_path)
+    if synthetic:
+        from vmrframe_tpu.testing import make_synthetic_data
+
+        dataset, store = make_synthetic_data(cfg, seed=0, n_train=n_synthetic,
+                                             n_test=n_synthetic)
+    else:
+        from vmrframe_tpu.data.datasets import load_dataset
+        from vmrframe_tpu.data.features import VideoFeatureStore
+
+        derived0 = Derived()
+        dataset = load_dataset(cfg, derived0)
+        store = VideoFeatureStore(cfg.paths.feature_path, cfg.model.vlen, lazy=True)
+    derived = Derived(num_words=dataset["n_words"], num_chars=dataset["n_chars"],
+                      num_train_steps=1, steps_per_epoch=1)
+    return MomentRetrievalService(
+        cfg, derived, dataset["word_dict"], dataset["char_dict"],
+        dataset["word_vector"], store, checkpoint=checkpoint,
+        batch_size=batch_size, flush_ms=flush_ms,
+    ), dataset
+
+
+def selftest(service: MomentRetrievalService, dataset, port: int,
+             n_requests: int = 256, concurrency: int = 32) -> dict:
+    """Boot the HTTP server, fire concurrent real-HTTP requests, report
+    latency percentiles + throughput."""
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    server = make_http_server(service, port)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    records = dataset["test_set"]
+    lat: List[float] = []
+    lock = threading.Lock()
+
+    def one(i):
+        rec = records[i % len(records)]
+        body = json.dumps({"vid": rec["vid"], "sentence": rec["sentence"],
+                           "duration": rec["duration"]}).encode("utf8")
+        t0 = time.perf_counter()
+        with urllib.request.urlopen(
+                urllib.request.Request(f"http://127.0.0.1:{port}/predict", data=body,
+                                       headers={"Content-Type": "application/json"}),
+                timeout=120) as resp:
+            out = json.loads(resp.read())
+        dt = time.perf_counter() - t0
+        assert "pred_time" in out and len(out["pred_time"]) == 2
+        with lock:
+            lat.append(dt)
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=concurrency) as ex:
+        list(ex.map(one, range(n_requests)))
+    wall = time.perf_counter() - t0
+    server.shutdown()
+    lat_ms = np.sort(np.asarray(lat)) * 1e3
+    stats = {
+        "requests": n_requests,
+        "concurrency": concurrency,
+        "batch_size": service.batch_size,
+        "qps": round(n_requests / wall, 1),
+        "p50_ms": round(float(lat_ms[int(0.50 * len(lat_ms))]), 2),
+        "p90_ms": round(float(lat_ms[int(0.90 * len(lat_ms))]), 2),
+        "p99_ms": round(float(lat_ms[min(int(0.99 * len(lat_ms)), len(lat_ms) - 1)]), 2),
+    }
+    print(json.dumps(stats))
+    return stats
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--port", type=int, default=8901)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--flush-ms", type=float, default=5.0)
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--selftest", action="store_true")
+    args = ap.parse_args()
+
+    service, dataset = build_service(args.config, args.checkpoint,
+                                     args.synthetic or args.selftest,
+                                     args.batch_size, args.flush_ms)
+    if args.selftest:
+        selftest(service, dataset, args.port)
+        service.close()
+        return
+    server = make_http_server(service, args.port)
+    print(f"serving on http://127.0.0.1:{args.port}  (batch {service.batch_size}, "
+          f"flush {service.flush_ms} ms)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        service.close()
+
+
+if __name__ == "__main__":
+    main()
