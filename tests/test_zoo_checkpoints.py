@@ -49,8 +49,8 @@ def _cfg_for(name, charades_cfg):
 
 @pytest.mark.parametrize("name", [
     "SeqPAN", "BaseFast", "BackBone", "BackBoneAlignFeature",
-    "BackBoneActionFormer", "BAN", "CCA", "ActionFormer", "CPL",
-    "OneTeacher_SoftLabel", "MultiTeacher",
+    "BackBoneBertSentence", "BackBoneActionFormer", "BAN", "CCA",
+    "ActionFormer", "CPL", "OneTeacher_SoftLabel", "MultiTeacher",
 ])
 def test_checkpoint_roundtrip_identical_eval(name, charades_cfg, tmp_path):
     cfg = _cfg_for(name, charades_cfg)
@@ -60,8 +60,13 @@ def test_checkpoint_roundtrip_identical_eval(name, charades_cfg, tmp_path):
                       num_train_steps=4, steps_per_epoch=1)
     entry = get_model_entry(cfg.model.name)
     batcher_cls = entry.batcher_cls or Batcher
-    if name == "BackBoneBertSentence":
+    # sentence-variant batchers embed sentences at sentence_dim (default 768,
+    # SBERT); the tiny test config is dim 32 and the L1 align head compares
+    # the two directly (see tests/test_sentence_variants.py)
+    orig_sentence_dim = getattr(batcher_cls, "sentence_dim", None)
+    if orig_sentence_dim is not None:
         batcher_cls.sentence_dim = 32
+        cfg = cfg.updated({"model.dim": 32})
     train_b = batcher_cls(dataset["train_set"], store, cfg, derived, "train")
     test_b = batcher_cls(dataset["test_set"], store, cfg, derived, "test")
 
@@ -87,3 +92,5 @@ def test_checkpoint_roundtrip_identical_eval(name, charades_cfg, tmp_path):
     # determinism of the restored state
     ious_again, _, _ = trainer2.run_eval_epoch(state2, test_b.epoch(seed=0))
     np.testing.assert_allclose(ious_after, ious_again, atol=1e-6)
+    if orig_sentence_dim is not None:
+        batcher_cls.sentence_dim = orig_sentence_dim
