@@ -48,6 +48,14 @@ MODELS = {
     "ActionFormerLong": (f"{REPO}/configs/tacos_actionformer_long.yaml", {}),
     "ActionFormerLongXLA": (f"{REPO}/configs/tacos_actionformer_long.yaml",
                             {"actionformer.pallas_min_len": -1}),
+    # mixed-precision training variants (train.compute_dtype)
+    "SeqPAN_bf16": (f"{REF}/charades/SeqPAN.yaml",
+                    {"train.compute_dtype": "bfloat16"}),
+    "BAN_bf16": (f"{REF}/charades/BAN.json",
+                 {"model.tlen": 25, "train.compute_dtype": "bfloat16"}),
+    "CCA_bf16": (f"{REF}/anet/CCA.yaml",
+                 {"paths.concept_name": "", "paths.com_concept": "",
+                  "model.tlen": 25, "train.compute_dtype": "bfloat16"}),
 }
 
 
