@@ -62,14 +62,15 @@ class Batcher:
         self._aug_is_identity = set(self.aug.keys()) == {"unchanged"}
         # on-device pipeline (ops/input_pipeline.py): ship padded raw
         # features; augmentation/resampling/labels run inside the jitted step.
-        # DEFAULT ON for augmented configs (erosion/dilation): host assembly
-        # costs ~110 ms/batch vs ~4 ms identity (BASELINE.md) while the
-        # device path folds the whole stage into the jitted step.  The
-        # identity path stays on host (per-vid resample cache is cheap).
-        aug_key = next(iter(self.aug))
-        default_on = len(self.aug) == 1 and aug_key in ("erosion", "dilation") \
-            and self.sample_type != "original"
-        self.device_pipeline = bool(dp.get("device_pipeline", default_on)) if dp else False
+        # OPT-IN (dataprocess.device_pipeline: true).  Measured end-to-end
+        # (tools/bench_pipeline.py, docs/BENCH_PIPELINE.json): it trades host
+        # assembly (~110 ms/batch erosion at B=128) for H2D BYTES — raw
+        # features are max_raw_len long vs the resampled vlen (4× at Charades)
+        # — and on this environment's tunneled interconnect that trade LOSES
+        # (0.57–0.9× samples/s), so host assembly + prefetch is the default.
+        # Enable it where the host CPU, not the interconnect, is the
+        # bottleneck (co-located hosts with fat DMA and slow/contended CPUs).
+        self.device_pipeline = bool(dp.get("device_pipeline", False)) if dp else False
         if self.device_pipeline and (len(self.aug) != 1 or self.sample_type == "original"):
             self.device_pipeline = False  # multi-aug choice / 'original' stay on host
         self._max_raw_len = 0
