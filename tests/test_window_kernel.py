@@ -114,3 +114,20 @@ def test_masked_mhca_banded_gate_conditions():
                           pallas_interpret=True)._use_banded_kernel(512, 512, True)
     assert not MaskedMHCA(64, 4, window_size=-1, pallas_min_len=256,
                           pallas_interpret=True)._use_banded_kernel(512, 512, True)
+
+
+def test_banded_kernel_bf16_inputs():
+    """Mixed-precision path: bf16 q/k/v in, bf16 out, f32 accumulation
+    inside — matches the XLA band path computed in f32 to bf16 tolerance."""
+    rng = np.random.default_rng(3)
+    B, H, T, hd, window = 1, 2, 384, 32, 19
+    q, k, v = [rng.normal(size=(B, H, T, hd)).astype(np.float32) for _ in range(3)]
+    kv_mask = np.ones((B, T), np.float32)
+    bf = jnp.bfloat16
+    got = banded_attention(jnp.asarray(q, bf), jnp.asarray(k, bf), jnp.asarray(v, bf),
+                           jnp.asarray(kv_mask, bf), window, interpret=True)
+    assert got.dtype == bf
+    want = xla_band_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                              jnp.asarray(kv_mask), window)
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
+                               atol=0.05, rtol=0.05)

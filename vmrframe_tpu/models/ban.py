@@ -44,6 +44,7 @@ from flax import linen as nn
 
 from vmrframe_tpu.data.labels import mask2d as build_mask2d
 from vmrframe_tpu.layers.recurrent import LSTM, masked_mean
+from vmrframe_tpu.ops.windowed import all_windowed_maxes
 from vmrframe_tpu.ops.masking import mask_logits
 from vmrframe_tpu.registry import register_model
 
@@ -170,18 +171,16 @@ def segment_max_map(x: jnp.ndarray, offsets) -> jnp.ndarray:
 
     x: (B, L, D).  For offset o, cell (i, i+o) = max(x[i..i+o]) — the exact
     values the reference's iterated max-pool chain produces
-    (BANlib/model.py:257-290), computed as one reduce_window per offset.
+    (BANlib/model.py:257-290), computed via shared sparse-table windowed
+    maxima (two elementwise maxes per offset instead of an O(o) reduction).
     """
     B, L, D = x.shape
     map2d = jnp.zeros((B, L, L, D), x.dtype)
     map2d = map2d.at[:, jnp.arange(L), jnp.arange(L), :].set(x)
+    wins = all_windowed_maxes(x, [o + 1 for o in offsets])
     for o in offsets:
-        win = jax.lax.reduce_window(
-            x, -jnp.inf, jax.lax.max,
-            window_dimensions=(1, o + 1, 1), window_strides=(1, 1, 1), padding="VALID",
-        )  # (B, L-o, D)
         i = jnp.arange(L - o)
-        map2d = map2d.at[:, i, i + o, :].set(win)
+        map2d = map2d.at[:, i, i + o, :].set(wins[o + 1])
     return map2d
 
 

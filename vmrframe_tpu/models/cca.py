@@ -34,7 +34,8 @@ from flax import linen as nn
 
 from vmrframe_tpu.data.labels import mask2d as dense_mask2d
 from vmrframe_tpu.layers.recurrent import LSTM
-from vmrframe_tpu.models.ban import Linear, segment_max_map
+from vmrframe_tpu.models.ban import Linear
+from vmrframe_tpu.ops.windowed import all_windowed_maxes
 from vmrframe_tpu.ops.span import infer_span_2d
 from vmrframe_tpu.registry import register_model
 
@@ -75,13 +76,10 @@ def strided_segment_max_map(x: jnp.ndarray, cells) -> jnp.ndarray:
     B, L, D = x.shape
     out = jnp.zeros((B, L, L, D), x.dtype)
     out = out.at[:, jnp.arange(L), jnp.arange(L), :].set(x)
+    wins = all_windowed_maxes(x, [o + 1 for o, _ in cells])
     for o, s in cells:
-        win = jax.lax.reduce_window(
-            x, -jnp.inf, jax.lax.max,
-            window_dimensions=(1, o + 1, 1), window_strides=(1, 1, 1), padding="VALID",
-        )
         i = jnp.arange(0, L - o, s)
-        out = out.at[:, i, i + o, :].set(win[:, i])
+        out = out.at[:, i, i + o, :].set(wins[o + 1][:, i])
     return out
 
 

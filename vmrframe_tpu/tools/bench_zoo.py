@@ -56,6 +56,10 @@ MODELS = {
     "CCA_bf16": (f"{REF}/anet/CCA.yaml",
                  {"paths.concept_name": "", "paths.com_concept": "",
                   "model.tlen": 25, "train.compute_dtype": "bfloat16"}),
+    "ActionFormer_bf16": (f"{REF}/charades/ActionFormer.yaml",
+                          {"train.compute_dtype": "bfloat16"}),
+    "CPL_bf16": (f"{REF}/charades/main_i3d_cpl.json",
+                 {"model.tlen": 25, "train.compute_dtype": "bfloat16"}),
 }
 
 

@@ -1,0 +1,155 @@
+"""Component-cost profile of the SeqPAN eval step on the real chip.
+
+Times each block standalone (own params, bench dims, bf16 like bench.py) with
+the fori-loop + byte-fetch protocol, plus the full model, so optimization
+targets come from data: where does the 0.87 ms/batch actually go?
+
+Isolated-block times ignore cross-block fusion, so the sum can exceed the
+full-model time — read the RANKING, not the absolute split.
+
+Writes docs/PROFILE_SEQPAN.json.
+Usage: python -m vmrframe_tpu.tools.profile_seqpan [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+
+
+def _timed(step, args, n_small=50, n_big=450, reps=3):
+    import jax
+    import jax.numpy as jnp
+
+    def make(n):
+        @jax.jit
+        def loop(*args):
+            def body(i, tok):
+                out = step(tok, *args)
+                if isinstance(out, (tuple, list)):
+                    out = out[0]
+                return jnp.sum(out[..., :1].astype(jnp.float32))
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        return loop
+
+    def t(n):
+        fn = make(n)
+        np.asarray(fn(*args))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(fn(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (t(n_big) - t(n_small)) / (n_big - n_small)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default=os.path.join(REPO, "docs", "PROFILE_SEQPAN.json"))
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from vmrframe_tpu.layers import SeqPANPredictor
+    from vmrframe_tpu.layers.attention import CQAttention, CQConcatenate, DualAttentionBlock
+    from vmrframe_tpu.layers.basic import Embedding, FeatureEncoder, VisualProjection
+    from vmrframe_tpu.ops.span import infer_span_1d
+
+    B = 128
+    cfg = ge._make_cfg(batch_size=B)
+    model, entry, derived, batch, word_vectors = ge._build(cfg, batch_size=B)
+    m = cfg.model
+    dim, L, T = m.dim, m.vlen, m.tlen
+    bf = jnp.bfloat16
+    rng = jax.random.PRNGKey(0)
+    rngs = {"params": rng, "dropout": rng, "gumbel": rng}
+
+    def cast(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(bf)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+    dev = jax.devices()[0]
+    batch = cast(jax.device_put(batch, dev))
+    vmask, tmask = batch["vmasks"], batch["tmasks"]
+    vfeat = jax.random.normal(rng, (B, L, dim), bf)
+    tfeat = jax.random.normal(rng, (B, T, dim), bf)
+    fuse = jax.random.normal(rng, (B, L, dim), bf)
+    slog = jax.random.normal(rng, (B, L), jnp.float32)
+
+    results = {}
+
+    def bench(name, module, call):
+        params = cast(module.init(rngs, *call(jnp.float32(0.0))))
+
+        def step(tok, params):
+            return module.apply(params, *call(tok))
+        results[name] = round(_timed(step, (params,)) * 1e3, 4)
+        print(json.dumps({name: results[name]}), flush=True)
+
+    emb = Embedding(out_dim=dim, word_dim=m.word_dim, char_dim=m.char_dim,
+                    num_chars=derived.num_chars, word_vectors=word_vectors, droprate=0.0)
+    bench("embedding_text", emb,
+          lambda tok: (batch["words_ids"], batch["char_ids"], True))
+    bench("visual_projection", VisualProjection(dim, 0.0),
+          lambda tok: (batch["vfeats"] + tok.astype(bf), True))
+    bench("feature_encoder_video", FeatureEncoder(dim, max_pos_len=L, kernel_size=7,
+                                                  num_layers=4, droprate=0.0),
+          lambda tok: (vfeat + tok.astype(bf), True))
+    bench("feature_encoder_text", FeatureEncoder(dim, max_pos_len=L, kernel_size=7,
+                                                 num_layers=4, droprate=0.0),
+          lambda tok: (tfeat + tok.astype(bf), True))
+    bench("dual_attention_block_v", DualAttentionBlock(dim, m.num_heads, 0.0),
+          lambda tok: (vfeat + tok.astype(bf), tfeat, vmask, tmask, True))
+    bench("cq_attention", CQAttention(dim, 0.0),
+          lambda tok: (vfeat + tok.astype(bf), tfeat, vmask, tmask, True))
+    bench("cq_concat", CQConcatenate(dim),
+          lambda tok: (fuse + tok.astype(bf), tfeat, tmask))
+    bench("predictor", SeqPANPredictor(dim, L, num_heads=4, droprate=0.0),
+          lambda tok: (fuse + tok.astype(bf), vmask, True))
+
+    # the composite pieces bench.py times
+    variables = cast(model.init(rngs, batch, True))
+
+    def full_fwd(tok, variables):
+        b = dict(batch)
+        b["vfeats"] = batch["vfeats"] + tok.astype(bf)
+        return model.apply(variables, b, True)["slogits"]
+    results["full_forward"] = round(_timed(full_fwd, (variables,)) * 1e3, 4)
+    print(json.dumps({"full_forward": results["full_forward"]}), flush=True)
+
+    def infer_only(tok, s):
+        props = infer_span_1d(s + tok, s * 0.5, vmask.astype(jnp.float32))
+        return props
+    results["infer_span"] = round(_timed(infer_only, (slog,)) * 1e3, 4)
+    print(json.dumps({"infer_span": results["infer_span"]}), flush=True)
+
+    blocks = ["embedding_text", "visual_projection",
+              "feature_encoder_video", "feature_encoder_text",
+              "dual_attention_block_v", "cq_attention", "cq_concat", "predictor"]
+    # dual attention runs 4x (2 blocks x 2 directions), CQ twice
+    results["sum_weighted_blocks"] = round(
+        sum(results[b] for b in blocks)
+        + 3 * results["dual_attention_block_v"] + results["cq_attention"], 4)
+    with open(args.out, "w") as f:
+        json.dump({"device": str(jax.devices()[0]), "batch": B, "ms": results}, f, indent=2)
+    print(json.dumps({"sum_weighted_blocks": results["sum_weighted_blocks"]}))
+
+
+if __name__ == "__main__":
+    main()
