@@ -86,3 +86,50 @@ def test_http_roundtrip(service_and_data):
         assert ei.value.code == 400
     finally:
         server.shutdown()
+
+
+def test_model_router_routes_and_rejects(service_and_data):
+    """Two named models behind one HTTP port: path routing, body-field
+    routing, /models listing, unknown-model 400."""
+    from vmrframe_tpu.tools.serve import ModelRouter, build_service, make_http_server
+
+    seqpan_service, dataset = service_and_data
+    backbone_service, _ = build_service(
+        "tests/configs/charades_seqpan.yaml", None, True, 8, 5.0, n_synthetic=16)
+    router = ModelRouter({"seqpan": seqpan_service, "alt": backbone_service})
+    server = make_http_server(router, 8938)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen("http://127.0.0.1:8938/models", timeout=30) as r:
+            listing = json.loads(r.read())
+        assert listing == {"models": ["alt", "seqpan"], "default": "seqpan"}
+
+        rec = dataset["test_set"][0]
+        body = json.dumps({"vid": rec["vid"], "sentence": rec["sentence"],
+                           "duration": rec["duration"]}).encode("utf8")
+
+        def post(path, data=body):
+            req = urllib.request.Request(f"http://127.0.0.1:8938{path}", data=data,
+                                         headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return json.loads(r.read())
+
+        by_path = post("/predict/alt")
+        assert by_path["model"] == "alt" and len(by_path["pred_time"]) == 2
+        default = post("/predict")
+        assert default["model"] == "seqpan"
+        body_field = json.dumps({"vid": rec["vid"], "sentence": rec["sentence"],
+                                 "duration": rec["duration"],
+                                 "model": "alt"}).encode("utf8")
+        assert post("/predict", body_field)["model"] == "alt"
+        # same underlying config+seed => identical prediction through both routes
+        np.testing.assert_allclose(by_path["pred_frac"], default["pred_frac"],
+                                   atol=1e-5)
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/predict/no_such_model")
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+        backbone_service.close()

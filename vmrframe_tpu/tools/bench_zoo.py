@@ -48,6 +48,8 @@ MODELS = {
     "ActionFormerLong": (f"{REPO}/configs/tacos_actionformer_long.yaml", {}),
     "ActionFormerLongXLA": (f"{REPO}/configs/tacos_actionformer_long.yaml",
                             {"actionformer.pallas_min_len": -1}),
+    # long-video 2D-map regime: 128-grid, 2D-TAN TACoS pooling recipe
+    "BANLong": (f"{REPO}/configs/tacos_ban_long.yaml", {}),
     # mixed-precision training variants (train.compute_dtype)
     "SeqPAN_bf16": (f"{REF}/charades/SeqPAN.yaml",
                     {"train.compute_dtype": "bfloat16"}),

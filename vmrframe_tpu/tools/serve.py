@@ -15,6 +15,10 @@ pass); this tool packages the jitted eval step as a production-style service:
   POST /predict  {"vid": ..., "sentence": ...}            -> {"pred_time": [s, e], ...}
   POST /predict  [{...}, {...}]                            -> [{...}, {...}]
   GET  /healthz                                            -> {"ok": true}
+- multi-model routing (``ModelRouter``): several named models behind one
+  port, each with its own compiled step + micro-batch queue; route via
+  POST /predict/<name>, a "model" body field, or the default; GET /models
+  lists routes.  CLI: repeatable ``--model NAME=CONFIG[:CKPT]``.
 
 ``--selftest`` boots the service on synthetic data, fires concurrent
 requests through real HTTP, and prints latency percentiles + throughput.
@@ -164,11 +168,51 @@ class MomentRetrievalService:
         self._worker.join(timeout=5)
 
 
+# ---------- multi-model routing ----------
+
+
+class ModelRouter:
+    """Routes requests to one of several named MomentRetrievalServices —
+    each owns its own compiled eval step and micro-batch queue, so models
+    serve concurrently without recompilation or queue interference.
+
+    Route selection, in precedence order: URL path (``/predict/<name>``),
+    then a ``"model"`` field in the request body, then the default (the
+    first registered model).
+    """
+
+    def __init__(self, services: Dict[str, MomentRetrievalService]):
+        if not services:
+            raise ValueError("ModelRouter needs at least one service")
+        self.services = dict(services)
+        self.default = next(iter(services))
+
+    def get(self, name: Optional[str]) -> MomentRetrievalService:
+        name = name or self.default
+        if name not in self.services:
+            raise KeyError(f"unknown model: {name!r} (have: {sorted(self.services)})")
+        return self.services[name]
+
+    def predict(self, vid: str, sentence: str, duration: Optional[float] = None,
+                model: Optional[str] = None, timeout: float = 60.0) -> Dict:
+        out = self.get(model).predict(vid, sentence, duration, timeout)
+        out["model"] = model or self.default
+        return out
+
+    def close(self):
+        for s in self.services.values():
+            s.close()
+
+
 # ---------- HTTP front end ----------
 
 
-def make_http_server(service: MomentRetrievalService, port: int):
+def make_http_server(service, port: int):
+    """`service` is a MomentRetrievalService or a ModelRouter."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    router = service if isinstance(service, ModelRouter) \
+        else ModelRouter({"default": service})
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload):
@@ -181,19 +225,26 @@ def make_http_server(service: MomentRetrievalService, port: int):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._send(200, {"ok": True, "batch_size": service.batch_size})
+                self._send(200, {"ok": True, "models": {
+                    n: {"batch_size": s.batch_size, "model": str(s.cfg.model.name)}
+                    for n, s in router.services.items()}})
+            elif self.path == "/models":
+                self._send(200, {"models": sorted(router.services),
+                                 "default": router.default})
             else:
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/predict":
+            if not self.path.startswith("/predict"):
                 self._send(404, {"error": "not found"})
                 return
+            path_model = self.path[len("/predict"):].strip("/") or None
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length))
                 reqs = req if isinstance(req, list) else [req]
-                out = [service.predict(r["vid"], r["sentence"], r.get("duration"))
+                out = [router.predict(r["vid"], r["sentence"], r.get("duration"),
+                                      model=path_model or r.get("model"))
                        for r in reqs]
                 self._send(200, out if isinstance(req, list) else out[0])
             except (KeyError, TimeoutError, RuntimeError, ValueError) as e:
@@ -285,31 +336,52 @@ def selftest(service: MomentRetrievalService, dataset, port: int,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", required=True)
+    ap.add_argument("--config", default=None)
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--model", action="append", default=None,
+                    metavar="NAME=CONFIG[:CKPT]",
+                    help="serve several models behind one port (repeatable); "
+                         "route via POST /predict/<NAME> or a 'model' body "
+                         "field.  Mutually additive with --config (which "
+                         "registers as 'default').")
     ap.add_argument("--port", type=int, default=8901)
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--flush-ms", type=float, default=5.0)
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--selftest", action="store_true")
     args = ap.parse_args()
+    if not args.config and not args.model:
+        ap.error("need --config and/or --model")
 
-    service, dataset = build_service(args.config, args.checkpoint,
-                                     args.synthetic or args.selftest,
-                                     args.batch_size, args.flush_ms)
+    synthetic = args.synthetic or args.selftest
+    services: Dict[str, MomentRetrievalService] = {}
+    dataset = None
+    if args.config:
+        services["default"], dataset = build_service(
+            args.config, args.checkpoint, synthetic, args.batch_size, args.flush_ms)
+    for spec in args.model or []:
+        name, _, rest = spec.partition("=")
+        if not rest:
+            ap.error(f"--model needs NAME=CONFIG[:CKPT], got {spec!r}")
+        cfg_path, _, ckpt = rest.partition(":")
+        services[name], ds = build_service(
+            cfg_path, ckpt or None, synthetic, args.batch_size, args.flush_ms)
+        dataset = dataset or ds
+    router = ModelRouter(services)
+    service = next(iter(services.values()))
     if args.selftest:
         selftest(service, dataset, args.port)
-        service.close()
+        router.close()
         return
-    server = make_http_server(service, args.port)
-    print(f"serving on http://127.0.0.1:{args.port}  (batch {service.batch_size}, "
-          f"flush {service.flush_ms} ms)")
+    server = make_http_server(router if len(services) > 1 else service, args.port)
+    print(f"serving {sorted(services)} on http://127.0.0.1:{args.port}  "
+          f"(batch {service.batch_size}, flush {service.flush_ms} ms)")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
-        service.close()
+        router.close()
 
 
 if __name__ == "__main__":
