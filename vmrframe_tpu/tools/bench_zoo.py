@@ -100,6 +100,8 @@ def bench_model(name: str, n_small: int, n_big: int):
     trainer = Trainer(cfg, derived, dataset["word_vector"])
     rng = jax.random.PRNGKey(0)
     state = trainer.init_state(rng, batch)
+    # per-step streams use the same impl production fit() uses (rbg default)
+    step_rng = jax.random.key(0, impl=str(cfg.train.get("prng_impl", "rbg")))
     n_params = sum(int(np.prod(np.asarray(x).shape))
                    for x in jax.tree_util.tree_leaves(state.params))
     device_batch = trainer._shard_batch(batch)
@@ -138,8 +140,8 @@ def bench_model(name: str, n_small: int, n_big: int):
 
     res = {"model": name, "batch_size": B, "params": n_params,
            "config": os.path.relpath(path, "/root/reference")}
-    tr = (timed(train_loop, (state, device_batch, rng), n_big)
-          - timed(train_loop, (state, device_batch, rng), n_small)) / (n_big - n_small)
+    tr = (timed(train_loop, (state, device_batch, step_rng), n_big)
+          - timed(train_loop, (state, device_batch, step_rng), n_small)) / (n_big - n_small)
     res["train_ms_per_step"] = round(tr * 1e3, 2)
     res["train_samples_per_sec"] = round(B / tr, 1)
     ev = (timed(eval_loop, (state, device_batch), n_big)

@@ -51,15 +51,115 @@ def _timed(step, args, n_small=50, n_big=450, reps=3):
     return (t(n_big) - t(n_small)) / (n_big - n_small)
 
 
+def _timed_chain(make_body, init_carry, args, n_small=20, n_big=120, reps=3):
+    """Like _timed but for stateful bodies: carry chains through the loop and
+    the returned scalar depends on the final carry (defeats DCE)."""
+    import jax
+    import jax.numpy as jnp
+
+    def make(n):
+        @jax.jit
+        def loop(carry, *a):
+            out = jax.lax.fori_loop(0, n, lambda i, c: make_body(i, c, *a), carry)
+            leaves = [x for x in jax.tree_util.tree_leaves(out)
+                      if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)]
+            return sum(jnp.sum(jnp.ravel(l)[:1].astype(jnp.float32)) for l in leaves[:4])
+        return loop
+
+    def t(n):
+        fn = make(n)
+        np.asarray(fn(init_carry, *args))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(fn(init_carry, *args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (t(n_big) - t(n_small)) / (n_big - n_small)
+
+
+def profile_train(out_path):
+    """Decompose the train step: loss value, +grad, full step (opt+infer+IoU),
+    at the bench config's shipped dims (f32, matching docs/BENCH_ZOO.json)."""
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from vmrframe_tpu.train.trainer import Trainer
+
+    B = 128
+    cfg = ge._make_cfg(batch_size=B)
+    model, entry, derived, batch, word_vectors = ge._build(cfg, batch_size=B)
+    trainer = Trainer(cfg, derived, word_vectors)
+    rng = jax.random.PRNGKey(0)
+    state = trainer.init_state(rng, batch)
+    db = trainer._shard_batch(batch)
+    results = {}
+
+    def perturb(b, i, tok):
+        b = dict(b)
+        b["vfeats"] = b["vfeats"] + (tok * 1e-9 + i * 0.0).astype(b["vfeats"].dtype)
+        return b
+
+    def make_loss_fn(b):
+        def loss_fn(params):
+            variables = trainer._cast_for_compute({"params": params, **state.constants})
+            cb = trainer._cast_for_compute(b)
+            rngs = {"dropout": jax.random.PRNGKey(1), "gumbel": jax.random.PRNGKey(2)}
+            outputs = model.apply(variables, cb, False, rngs=rngs)
+            outputs = trainer._upcast_outputs(outputs)
+            return entry.loss_fn(outputs, b, cfg), outputs
+        return loss_fn
+
+    def body_loss(i, tok, b):
+        b = perturb(b, i, tok)
+        (loss, _) = make_loss_fn(b)(state.params)[0], None
+        return tok + loss
+
+    results["loss_value_train_mode"] = round(
+        _timed_chain(body_loss, jnp.float32(0.0), (db,)) * 1e3, 3)
+    print({"loss_value_train_mode": results["loss_value_train_mode"]}, flush=True)
+
+    def body_grad(i, tok, b):
+        b = perturb(b, i, tok)
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: make_loss_fn(b)(p), has_aux=True)(state.params)
+        g0 = jax.tree_util.tree_leaves(grads)[0]
+        return tok + loss + jnp.sum(g0.astype(jnp.float32)) * 1e-9
+
+    results["loss_and_grad"] = round(
+        _timed_chain(body_grad, jnp.float32(0.0), (db,)) * 1e3, 3)
+    print({"loss_and_grad": results["loss_and_grad"]}, flush=True)
+
+    def body_full(i, st, b, r):
+        st2, _ = trainer._train_step(st, perturb(b, i, jnp.float32(i)), r)
+        return st2
+
+    results["full_train_step"] = round(
+        _timed_chain(body_full, state, (db, rng)) * 1e3, 3)
+    print({"full_train_step": results["full_train_step"]}, flush=True)
+
+    with open(out_path, "w") as f:
+        json.dump({"device": str(jax.devices()[0]), "batch": B,
+                   "dtype": "f32 (shipped config)", "ms": results}, f, indent=2)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--out", default=os.path.join(REPO, "docs", "PROFILE_SEQPAN.json"))
+    ap.add_argument("--train", action="store_true",
+                    help="profile the train step instead of eval components")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.train:
+        profile_train(args.out or os.path.join(REPO, "docs", "PROFILE_SEQPAN_TRAIN.json"))
+        return
+    args.out = args.out or os.path.join(REPO, "docs", "PROFILE_SEQPAN.json")
 
     import jax
     import jax.numpy as jnp

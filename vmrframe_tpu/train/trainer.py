@@ -295,6 +295,13 @@ def fit(trainer: Trainer, train_batcher, test_batcher, rng_seed: int = 1234,
     rng = jax.random.PRNGKey(rng_seed)
     first = next(train_batcher.epoch(seed=rng_seed))
     state = trainer.init_state(rng, first)
+    # per-step dropout/gumbel streams: the TPU-native rbg generator — the
+    # counter-based threefry mask generation measured 1.45 ms of SeqPAN's
+    # train step at B=128 vs 0.70 ms for rbg (docs/PROFILE_SEQPAN_TRAIN.json).
+    # Param init above stays threefry (init distributions unchanged).
+    impl = str(cfg.train.get("prng_impl", "rbg"))
+    train_rng = rng if impl in ("threefry", "threefry2x32") \
+        else jax.random.key(rng_seed, impl=impl)
     if resume_from:
         from vmrframe_tpu.train.checkpoints import restore_into_state
 
@@ -316,7 +323,7 @@ def fit(trainer: Trainer, train_batcher, test_batcher, rng_seed: int = 1234,
                  else contextlib.nullcontext())
         with trace:
             batches = BatchPrefetcher(train_batcher.epoch(seed=rng_seed + epoch))
-            state, ious, lossmeter, secs = trainer.run_train_epoch(state, batches, rng)
+            state, ious, lossmeter, secs = trainer.run_train_epoch(state, batches, train_rng)
         n_train = train_batcher.num_samples
         r1i3, r1i5, _, r1i7, mi = get_i345_mi(ious)
         log(f"TRAIN {epoch + 1:2d}|{cfg.train.epochs:2d} R1I3: {r1i3:.2f}\tR1I5: {r1i5:.2f}\t"
