@@ -144,8 +144,11 @@ def bench_model(name: str, n_small: int, n_big: int):
           - timed(train_loop, (state, device_batch, step_rng), n_small)) / (n_big - n_small)
     res["train_ms_per_step"] = round(tr * 1e3, 2)
     res["train_samples_per_sec"] = round(B / tr, 1)
-    ev = (timed(eval_loop, (state, device_batch), n_big)
-          - timed(eval_loop, (state, device_batch), n_small)) / (n_big - n_small)
+    # eval steps are 10-40x cheaper than train steps: use proportionally
+    # longer loops so tunnel RTT noise (~ms) stops dominating the delta
+    ev_small, ev_big = n_small * 5, n_big * 5
+    ev = (timed(eval_loop, (state, device_batch), ev_big)
+          - timed(eval_loop, (state, device_batch), ev_small)) / (ev_big - ev_small)
     res["eval_ms_per_step"] = round(ev * 1e3, 2)
     res["eval_qps"] = round(B / ev, 1)
     return res

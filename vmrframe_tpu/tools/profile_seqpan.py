@@ -34,7 +34,7 @@ def _timed(step, args, n_small=50, n_big=450, reps=3):
                 out = step(tok, *args)
                 if isinstance(out, (tuple, list)):
                     out = out[0]
-                return jnp.sum(out[..., :1].astype(jnp.float32))
+                return jnp.sum(jnp.ravel(out)[:1].astype(jnp.float32))
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
         return loop
 
@@ -150,6 +150,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--train", action="store_true",
                     help="profile the train step instead of eval components")
+    ap.add_argument("--grad", action="store_true",
+                    help="per-block fwd+bwd timings (value_and_grad per block)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.cpu:
@@ -159,7 +161,8 @@ def main():
     if args.train:
         profile_train(args.out or os.path.join(REPO, "docs", "PROFILE_SEQPAN_TRAIN.json"))
         return
-    args.out = args.out or os.path.join(REPO, "docs", "PROFILE_SEQPAN.json")
+    args.out = args.out or os.path.join(
+        REPO, "docs", "PROFILE_SEQPAN_GRAD.json" if args.grad else "PROFILE_SEQPAN.json")
 
     import jax
     import jax.numpy as jnp
@@ -197,8 +200,22 @@ def main():
     def bench(name, module, call):
         params = cast(module.init(rngs, *call(jnp.float32(0.0))))
 
-        def step(tok, params):
-            return module.apply(params, *call(tok))
+        if args.grad:
+            def step(tok, params):
+                def scalar(p):
+                    out = module.apply(p, *call(tok))
+                    if isinstance(out, (tuple, list)):
+                        out = out[0]
+                    return jnp.sum(out.astype(jnp.float32))
+                loss, grads = jax.value_and_grad(scalar)(params)
+                g = jax.tree_util.tree_leaves(grads)
+                # full-sum every grad leaf (slicing here can legalize into an
+                # invalid 1-feature batch-group conv for depthwise filter
+                # grads — a Mosaic/XLA lowering bug observed on v5e)
+                return loss + sum(jnp.sum(x.astype(jnp.float32)) for x in g) * 1e-9
+        else:
+            def step(tok, params):
+                return module.apply(params, *call(tok))
         results[name] = round(_timed(step, (params,)) * 1e3, 4)
         print(json.dumps({name: results[name]}), flush=True)
 
