@@ -54,3 +54,13 @@ def test_epochs_override_and_seed_determinism():
     r2 = main(["--config", CFG, "--synthetic", "--epochs", "1",
                "--suffix", "clidet", "--seed", "7"])
     assert r1["best_miou"] == pytest.approx(r2["best_miou"], abs=1e-4)
+
+
+def test_train_save_results_exports_history(tmp_path):
+    out = tmp_path / "history.json"
+    result = main(["--config", CFG, "--synthetic", "--epochs", "2",
+                   "--suffix", "clihist", "--save-results", str(out)])
+    data = json.loads(out.read_text())
+    assert data["best_miou"] == pytest.approx(result["best_miou"])
+    assert len(data["history"]) == 2
+    assert {"epoch", "r1i3", "r1i5", "r1i7", "miou"} <= set(data["history"][0])

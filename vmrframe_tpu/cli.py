@@ -140,6 +140,15 @@ def main(argv=None):
     result = fit(trainer, train_batcher, test_batcher, rng_seed=args.seed,
                  ckpt_dir=ckpt_dir, log=logger.info, resume_from=args.checkpoint)
     logger.info(f"best mIoU: {result['best_miou']:.2f}")
+    if args.save_results:
+        # training-mode export: the per-epoch test-metric history + best
+        import json
+
+        with open(args.save_results, "w", encoding="utf8") as f:
+            json.dump({"best_miou": result["best_miou"],
+                       "best_path": result["best_path"],
+                       "history": result["history"]}, f)
+        logger.info(f"wrote training history to {args.save_results}")
     return result
 
 
