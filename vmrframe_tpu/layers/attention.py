@@ -224,6 +224,77 @@ class DualAttentionBlock(nn.Module):
         return drop(outputs) + residual
 
 
+class _LNParams(nn.Module):
+    """Registers LayerNorm's (scale, bias) without running it."""
+
+    @nn.compact
+    def __call__(self, dim: int):
+        scale = self.param("scale", nn.initializers.ones, (dim,))
+        bias = self.param("bias", nn.initializers.zeros, (dim,))
+        return scale, bias
+
+
+class _BiLinearParams(nn.Module):
+    """Registers BiLinear's tree (dense_1/{kernel,bias}, bias_value)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        k, b = ProjParams(self.dim, name="dense_1")(in_dim)
+        xb = self.param("bias_value", nn.initializers.zeros, (self.dim,))
+        return k, b, xb
+
+
+class _DualMultiAttentionParams(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        D = self.dim
+        kbs, bs = [], []
+        for name in ("query", "f_key", "f_value", "t_key", "t_value",
+                     "s_dense", "x_dense", "s_gate", "x_gate", "guided_dense"):
+            k, b = ProjParams(D, name=name)(D)
+            kbs.append(k)
+            bs.append(b)
+        k1, b1, xb1 = _BiLinearParams(D, name="bilinear_1")(D)
+        k2, b2, xb2 = _BiLinearParams(D, name="bilinear_2")(D)
+        kbs += [k1, k2]
+        bs += [b1, b2]
+        return kbs, bs, (xb1, xb2)
+
+
+class DualAttentionBlockParams(nn.Module):
+    """Registers EXACTLY the parameter tree of ``DualAttentionBlock`` (same
+    submodule names, shapes, and initializers) and returns it as the stacked
+    arrays the fused Pallas stack kernel consumes
+    (kernels/dual_stack.py: W (14, D, D), b (14, D), ln (6, D), xb (2, D)).
+    Init through either code path yields an identical checkpoint tree, so the
+    XLA train path and the fused eval path share parameters freely."""
+
+    dim: int
+    num_heads: int
+    droprate: float = 0.0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        D = self.dim
+        ln1 = _LNParams(name="layer_norm_1")(D)
+        lnt = _LNParams(name="layer_norm_t")(D)
+        kbs, bs, (xb1, xb2) = _DualMultiAttentionParams(
+            D, name="dual_multihead_attention")()
+        kd1, bd1 = ProjParams(D, name="dense_1")(D)
+        ln2 = _LNParams(name="layer_norm_2")(D)
+        kd2, bd2 = ProjParams(D, name="dense_2")(D)
+        W = jnp.stack(kbs + [kd1, kd2])                     # (14, D, D)
+        b = jnp.stack(bs + [bd1, bd2])                      # (14, D)
+        ln = jnp.stack([ln1[0], ln1[1], lnt[0], lnt[1], ln2[0], ln2[1]])
+        xb = jnp.stack([xb1, xb2])
+        return {"W": W, "b": b, "ln": ln, "xb": xb}
+
+
 class CQAttention(nn.Module):
     """QANet context-query attention (models/layers.py:402-437): trilinear
     scores via three rank-1/elementwise terms, row+col masked softmaxes,
