@@ -64,3 +64,9 @@ def test_train_save_results_exports_history(tmp_path):
     assert data["best_miou"] == pytest.approx(result["best_miou"])
     assert len(data["history"]) == 2
     assert {"epoch", "r1i3", "r1i5", "r1i7", "miou"} <= set(data["history"][0])
+
+
+def test_bf16_flag_trains(tmp_path):
+    result = main(["--config", CFG, "--synthetic", "--epochs", "1",
+                   "--suffix", "clibf16", "--bf16"])
+    assert np.isfinite(result["best_miou"])

@@ -31,6 +31,9 @@ def parse_args(argv=None):
     parser.add_argument("--epochs", type=int, default=None, help="override train.epochs")
     parser.add_argument("--save-results", type=str, default=None,
                         help="with --eval: write per-sample predictions JSON here")
+    parser.add_argument("--bf16", action="store_true",
+                        help="mixed-precision training (train.compute_dtype: "
+                             "bfloat16 — params f32, compute bf16)")
     return parser.parse_args(argv)
 
 
@@ -75,6 +78,8 @@ def main(argv=None):
     cfg = load_config(args.config)
     if args.epochs is not None:
         cfg = cfg.updated({"train.epochs": args.epochs})
+    if args.bf16:
+        cfg = cfg.updated({"train.compute_dtype": "bfloat16"})
     derived = Derived(suffix=args.suffix, seed=args.seed, debug=args.debug)
 
     if args.synthetic:

@@ -19,6 +19,10 @@ pass); this tool packages the jitted eval step as a production-style service:
   port, each with its own compiled step + micro-batch queue; route via
   POST /predict/<name>, a "model" body field, or the default; GET /models
   lists routes.  CLI: repeatable ``--model NAME=CONFIG[:CKPT]``.
+- observability + ops: GET /metrics[/name] (request counters + rolling
+  latency percentiles per model); POST /reload {"model": ..., "checkpoint":
+  ...} hot-swaps weights atomically with zero recompiles (in-flight
+  micro-batches finish on the old weights).
 
 ``--selftest`` boots the service on synthetic data, fires concurrent
 requests through real HTTP, and prints latency percentiles + throughput.
@@ -75,6 +79,10 @@ class MomentRetrievalService:
 
         self._queue: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        self._stats_lock = threading.Lock()
+        self._latencies: List[float] = []  # ring buffer, last 4096
+        self._n_ok = 0
+        self._n_err = 0
         self._worker = threading.Thread(target=self._dispatch_loop, daemon=True)
         self._worker.start()
 
@@ -156,12 +164,44 @@ class MomentRetrievalService:
             duration = float(self.store.lengths()[str(vid)])
         item = {"record": self._make_record(vid, sentence, duration),
                 "event": threading.Event()}
+        t0 = time.perf_counter()
         self._queue.put(item)
         if not item["event"].wait(timeout):
+            with self._stats_lock:
+                self._n_err += 1
             raise TimeoutError("prediction timed out")
+        dt = time.perf_counter() - t0
+        with self._stats_lock:
+            if "error" in item:
+                self._n_err += 1
+            else:
+                self._n_ok += 1
+                self._latencies.append(dt)
+                if len(self._latencies) > 4096:
+                    del self._latencies[:2048]
         if "error" in item:
             raise RuntimeError(item["error"])
         return item["result"]
+
+    def metrics(self) -> Dict:
+        """Served-request counters + latency percentiles (rolling window)."""
+        with self._stats_lock:
+            lat = sorted(self._latencies[-4096:])
+            ok, err = self._n_ok, self._n_err
+        pct = lambda p: round(lat[min(int(p * len(lat)), len(lat) - 1)] * 1e3, 2) \
+            if lat else None
+        return {"requests_ok": ok, "requests_error": err,
+                "batch_size": self.batch_size, "flush_ms": self.flush_ms,
+                "p50_ms": pct(0.50), "p90_ms": pct(0.90), "p99_ms": pct(0.99)}
+
+    def reload_checkpoint(self, checkpoint: str) -> None:
+        """Hot-swap weights: restore into a copy of the current state and
+        publish atomically — in-flight micro-batches finish on the old
+        weights, the next batch runs the new ones.  No recompile (same
+        shapes)."""
+        from vmrframe_tpu.train.checkpoints import restore_into_state
+
+        self.state = restore_into_state(checkpoint, self.state)
 
     def close(self):
         self._stop.set()
@@ -231,10 +271,31 @@ def make_http_server(service, port: int):
             elif self.path == "/models":
                 self._send(200, {"models": sorted(router.services),
                                  "default": router.default})
+            elif self.path.startswith("/metrics"):
+                name = self.path[len("/metrics"):].strip("/") or None
+                try:
+                    if name:
+                        self._send(200, router.get(name).metrics())
+                    else:
+                        self._send(200, {n: s.metrics()
+                                         for n, s in router.services.items()})
+                except KeyError as e:
+                    self._send(400, {"error": str(e)})
             else:
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):
+            if self.path.startswith("/reload"):
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(length))
+                    svc = router.get(req.get("model"))
+                    svc.reload_checkpoint(req["checkpoint"])
+                    self._send(200, {"ok": True,
+                                     "model": req.get("model") or router.default})
+                except (KeyError, ValueError, FileNotFoundError) as e:
+                    self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                return
             if not self.path.startswith("/predict"):
                 self._send(404, {"error": "not found"})
                 return
