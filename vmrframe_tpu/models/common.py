@@ -31,7 +31,8 @@ def _use_fused_stack(m, deterministic: bool) -> bool:
     small sequential dots per program cannot match it (docs/DESIGN.md,
     round-2 kernel notes).  Opt in with ``model.fused_dual_stack: true``;
     ``"interpret"`` forces the path in Pallas interpret mode (CPU tests)."""
-    flag = m.get("fused_dual_stack", False)
+    flag = (m.get("fused_dual_stack", False) if hasattr(m, "get")
+            else getattr(m, "fused_dual_stack", False))
     if not deterministic or not bool(flag):
         return False
     D, H = int(m.dim), int(m.num_heads)
@@ -100,7 +101,8 @@ def encode_and_fuse(
 
             vfeat, tfeat = dual_attention_stack(
                 vfeat, tfeat, vmask, tmask, p1, p2, int(m.num_heads),
-                interpret=m.get("fused_dual_stack", False) == "interpret")
+                interpret=(m.get("fused_dual_stack", False) if hasattr(m, "get")
+                           else getattr(m, "fused_dual_stack", False)) == "interpret")
         else:
             dab1 = DualAttentionBlock(dim, m.num_heads, droprate, name="dual_attention_block_1")
             dab2 = DualAttentionBlock(dim, m.num_heads, droprate, name="dual_attention_block_2")
