@@ -97,3 +97,36 @@ def test_actionformer_trains_and_evals(af_cfg):
     # predictions are fractions inside the video
     _, _, _, props = trainer.run_eval_epoch(state, test_b.epoch(seed=0), collect_props=True)
     assert np.all(props >= 0.0) and np.all(props <= 1.0)
+
+
+def test_fast_top1_matches_full():
+    """actionformer_infer's argmax shortcut == the full NMS path's first
+    kept segment (greedy NMS's first pick is the undegraded argmax)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vmrframe_tpu.config import load_config
+    from vmrframe_tpu.models.actionformer import (
+        _decode_and_nms, _grid_to_seconds, _points, actionformer_infer)
+
+    cfg = load_config("tests/configs/charades_actionformer.yaml")
+    P = len(_points(cfg))
+    rng = np.random.default_rng(0)
+    B = 4
+    outputs = {
+        "cls_logits": jnp.asarray(rng.normal(size=(B, P, 1)).astype(np.float32)),
+        "offsets": jnp.asarray(np.abs(rng.normal(size=(B, P, 2))).astype(np.float32)),
+        "fpn_mask": jnp.ones((B, P), jnp.float32),
+    }
+    batch = {
+        "feat_stride": jnp.full((B,), 4.0),
+        "feat_num_frames": jnp.full((B,), 16.0),
+        "fps": jnp.full((B,), 30.0),
+        "duration": jnp.asarray(rng.uniform(10, 40, size=(B,)).astype(np.float32)),
+    }
+    fast = actionformer_infer(outputs, batch, cfg)
+    kept_segs, _, _ = _decode_and_nms(outputs, cfg)
+    full_top1 = _grid_to_seconds(kept_segs[:, 0], batch) / batch["duration"][:, None]
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(full_top1),
+                               atol=1e-6, rtol=1e-6)

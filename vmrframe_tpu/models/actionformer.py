@@ -215,13 +215,9 @@ def actionformer_loss(outputs, batch, cfg, extras):
     return final, {"loss_normalizer": loss_normalizer}
 
 
-def _decode_and_nms(outputs, cfg):
-    """Shared decode + (soft-)NMS + voting over the whole batch on device.
-
-    Returns (segs (B, K, 2) grid coords, scores (B, K), valid (B, K)) with
-    K = test_cfg.max_seg_num, sorted by decayed score — the reference's
-    inference_single_video + batched_nms class-agnostic path
-    (meta_archs.py:641-706, actionformer_utils.py:103-190)."""
+def _decode_candidates(outputs, cfg):
+    """Decode logits/offsets into pre-NMS (segs, scores) — shared by the
+    full protocol and the fast top-1 metric path."""
     af = _af_cfg(cfg)
     test = af.test_cfg
     points = jnp.asarray(_points(cfg))
@@ -234,7 +230,17 @@ def _decode_and_nms(outputs, cfg):
     # pre-NMS filtering (threshold + duration) via score zeroing (fixed shape)
     keep = (probs > test.pre_nms_thresh) & ((seg_right - seg_left) > test.duration_thresh)
     scores = jnp.where(keep, probs, 0.0)
+    return segs, scores, test
 
+
+def _decode_and_nms(outputs, cfg):
+    """Shared decode + (soft-)NMS + voting over the whole batch on device.
+
+    Returns (segs (B, K, 2) grid coords, scores (B, K), valid (B, K)) with
+    K = test_cfg.max_seg_num, sorted by decayed score — the reference's
+    inference_single_video + batched_nms class-agnostic path
+    (meta_archs.py:641-706, actionformer_utils.py:103-190)."""
+    segs, scores, test = _decode_candidates(outputs, cfg)
     K = int(test.max_seg_num)
     method_name = test.nms_method
     if method_name == "none":
@@ -266,9 +272,23 @@ def _grid_to_seconds(segs, batch):
 
 def actionformer_infer(outputs, batch, cfg):
     """Top-1 span as duration FRACTIONS so the shared VMR metric engine
-    applies (reference inference + postprocessing restricted to top-1)."""
-    kept_segs, _, _ = _decode_and_nms(outputs, cfg)
-    secs = _grid_to_seconds(kept_segs[:, 0], batch)
+    applies (reference inference + postprocessing restricted to top-1).
+
+    EXACT shortcut (tests/test_actionformer.py::test_fast_top1_matches_full):
+    greedy (soft-)NMS's FIRST pick is the plain argmax of the pre-NMS scores
+    — decay only affects later picks, and later picks can never outscore an
+    earlier one — so the R1 metric path skips the max_seg_num-step scan
+    entirely (it was 55% of the eval step at the shipped config) and applies
+    seg_voting directly to the argmax segment.  Serving/export use
+    ``actionformer_infer_full`` for the complete ranked list."""
+    segs, scores, test = _decode_candidates(outputs, cfg)
+    idx = jnp.argmax(scores, axis=1)
+    top = jnp.take_along_axis(segs, idx[:, None, None], axis=1)  # (B, 1, 2)
+    voting = float(getattr(test, "voting_thresh", 0.0) or 0.0)
+    if test.nms_method != "none" and voting > 0 \
+            and not bool(getattr(test, "multiclass_nms", False)):
+        top = batched_seg_voting(top, segs, scores, voting)
+    secs = _grid_to_seconds(top[:, 0], batch)
     return secs / batch["duration"][:, None]
 
 
