@@ -82,3 +82,18 @@ def test_fit_two_epochs_and_checkpoint(tmp_path, setup):
     ious_b, _, _ = trainer.run_eval_epoch(restored, test_b.epoch(seed=0))
     _, _, _, _, mi_b = get_i345_mi(ious_b)
     assert mi_b == pytest.approx(result["best_miou"], abs=1e-3)
+
+
+def test_prng_impl_threefry_knob(setup, charades_cfg):
+    """train.prng_impl selects the dropout/gumbel generator; 'threefry'
+    restores the pre-rbg stream and trains identically-shaped state."""
+    cfg = charades_cfg.updated({"train.epochs": 1, "train.prng_impl": "threefry"})
+    dataset, store = make_synthetic_data(cfg, seed=0, n_train=16, n_test=8)
+    derived = Derived(num_words=dataset["n_words"], num_chars=dataset["n_chars"])
+    train_b = Batcher(dataset["train_set"], store, cfg, derived, "train")
+    test_b = Batcher(dataset["test_set"], store, cfg, derived, "test")
+    derived.steps_per_epoch = len(train_b)
+    derived.num_train_steps = len(train_b)
+    trainer = Trainer(cfg, derived, dataset["word_vector"])
+    result = fit(trainer, train_b, test_b, rng_seed=0, log=lambda *_: None)
+    assert np.isfinite(result["best_miou"])
