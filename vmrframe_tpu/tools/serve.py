@@ -362,15 +362,27 @@ def selftest(service: MomentRetrievalService, dataset, port: int,
     lock = threading.Lock()
 
     def one(i):
+        import http.client
+
         rec = records[i % len(records)]
         body = json.dumps({"vid": rec["vid"], "sentence": rec["sentence"],
                            "duration": rec["duration"]}).encode("utf8")
         t0 = time.perf_counter()
-        with urllib.request.urlopen(
-                urllib.request.Request(f"http://127.0.0.1:{port}/predict", data=body,
-                                       headers={"Content-Type": "application/json"}),
-                timeout=120) as resp:
-            out = json.loads(resp.read())
+        for attempt in range(3):
+            try:
+                with urllib.request.urlopen(
+                        urllib.request.Request(f"http://127.0.0.1:{port}/predict",
+                                               data=body,
+                                               headers={"Content-Type": "application/json"}),
+                        timeout=120) as resp:
+                    out = json.loads(resp.read())
+                break
+            except (ConnectionResetError, http.client.RemoteDisconnected):
+                # transient socket drop under concurrency (stdlib
+                # ThreadingHTTPServer); retry on a fresh connection
+                if attempt == 2:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
         dt = time.perf_counter() - t0
         assert "pred_time" in out and len(out["pred_time"]) == 2
         with lock:
