@@ -97,3 +97,38 @@ def test_ban_trains_and_evals(ban_cfg):
     ious1, _, _ = trainer.run_eval_epoch(state, test_b.epoch(seed=0))
     ious2, _, _ = trainer.run_eval_epoch(state, test_b.epoch(seed=0))
     np.testing.assert_allclose(ious1, ious2, atol=1e-6)
+
+
+def test_compact_map_exactly_matches_dense(charades_ban_cfg=None):
+    """The compact-cells path (default) == the dense-map path in eval mode,
+    cell for cell — including the bias-constant invalid cells that
+    ban_infer's full-triu quirk can observe."""
+    import jax
+    import numpy as np
+
+    from vmrframe_tpu.config import Derived, load_config
+    from vmrframe_tpu.registry import get_model_entry
+    from vmrframe_tpu.testing import make_synthetic_data
+
+    cfg = load_config("tests/configs/charades_ban.json")
+    dataset, store = make_synthetic_data(cfg, seed=0, n_train=4, n_test=4)
+    derived = Derived(num_words=dataset["n_words"], num_chars=dataset["n_chars"],
+                      num_train_steps=2, steps_per_epoch=1)
+    entry = get_model_entry("BAN")
+    batcher = entry.batcher_cls(dataset["test_set"], store, cfg, derived, "test")
+    batch = next(batcher.epoch(seed=0, shuffle=False))
+
+    rng = jax.random.PRNGKey(0)
+    rngs = {"params": rng, "dropout": rng}
+    m_compact = entry.model_cls(cfg.updated({"model.compact_map": True}),
+                                derived, dataset["word_vector"])
+    variables = m_compact.init(rngs, batch, True)
+    out_c = m_compact.apply(variables, batch, True)
+    m_dense = entry.model_cls(cfg.updated({"model.compact_map": False}),
+                              derived, dataset["word_vector"])
+    out_d = m_dense.apply(variables, batch, True)
+
+    for key in ("tmap", "map2d_proj", "final_pred", "offset", "pred_score",
+                "coarse_pred"):
+        np.testing.assert_allclose(np.asarray(out_c[key]), np.asarray(out_d[key]),
+                                   atol=2e-5, rtol=2e-5, err_msg=key)

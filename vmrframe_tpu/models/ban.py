@@ -298,10 +298,8 @@ class BAN(nn.Module):
 
         mask_np, offsets, ii, jj = _mask_meta(list(m.pooling_counts), L)
         mask2d = jnp.asarray(mask_np)
-
-        # content stream: segment-max map (only valid cells are nonzero)
-        map2d_c = segment_max_map(fuse_feature, list(offsets))
-        map2d_c = map2d_c * mask2d[None, :, :, None]
+        compact = bool(m.get("compact_map", True)) if hasattr(m, "get") \
+            else bool(getattr(m, "compact_map", True))
 
         # boundary-cat + projection, decomposed: proj([b_i, b_j, c_ij]) =
         # b_i@W1 + b_j@W2 + c_ij@W3 + bias  (relu(bias) at invalid cells,
@@ -317,17 +315,68 @@ class BAN(nn.Module):
         W1, W2, W3 = W[:fuse], W[fuse : 2 * fuse], W[2 * fuse :]
         A = hidden_b @ W1  # (B, L, F) — start boundary term
         Bt = hidden_b @ W2  # end boundary term
-        z = A[:, :, None, :] + Bt[:, None, :, :] + jnp.einsum("bijf,fg->bijg", map2d_c, W3) + b
-        z = jnp.where(mask2d[None, :, :, None], z, b)
-        map2d = jax.nn.relu(z)
-        map2d = nn.Dropout(0.1)(map2d, deterministic=deterministic)
-
-        tmap = Linear(1, name="predictor_out")(
-            MLPBlock(fuse, 0.1, name="predictor_hidden")(map2d, deterministic)).squeeze(-1)
-
         contrast_dim = m.contrast_dim
-        map2d_proj = Linear(contrast_dim, name="contrast_encoder_out")(
-            jax.nn.relu(Linear(contrast_dim, name="contrast_encoder_hidden")(map2d_c)))
+        B_ = fuse_feature.shape[0]
+
+        if compact:
+            # ---- compact-cells formulation (TPU-native; exactly equivalent)
+            # Every consumer of the (B, L, L, F) map is POINTWISE (no spatial
+            # convs), so compute only the K valid sparse cells (~33% of L² at
+            # the shipped config) plus ONE sentinel "invalid" cell that
+            # carries the bias-only value every invalid cell shares — which
+            # reproduces the dense path's relu(bias)->predictor constant that
+            # ban_infer's full-triu argmax quirk can observe.
+            wins = all_windowed_maxes(fuse_feature, [o + 1 for o in offsets])
+            # offset-major assembly, then a static permutation into the
+            # row-major np.nonzero order (keeps proposal-selection argsort
+            # tie-breaking identical to the dense path)
+            om_cells = jnp.concatenate(
+                [fuse_feature] + [wins[o + 1] for o in offsets], axis=1)  # (B, K, F)
+            om_i = np.concatenate([np.arange(L)] + [np.arange(L - o) for o in offsets])
+            om_j = np.concatenate([np.arange(L)] + [np.arange(L - o) + o for o in offsets])
+            lut = {(int(i_), int(j_)): k for k, (i_, j_) in enumerate(zip(om_i, om_j))}
+            perm = np.asarray([lut[(int(i_), int(j_))] for i_, j_ in zip(ii, jj)])
+            mapc_cells = om_cells[:, jnp.asarray(perm)]  # (B, K, F) row-major
+            K = mapc_cells.shape[1]
+
+            iis, jjs = jnp.asarray(ii), jnp.asarray(jj)
+            zc = A[:, iis] + Bt[:, jjs] + mapc_cells @ W3 + b  # (B, K, F)
+            zc = jnp.concatenate(
+                [zc, jnp.broadcast_to(b, (B_, 1, fuse))], axis=1)  # + sentinel
+            map_cells = nn.Dropout(0.1)(jax.nn.relu(zc), deterministic=deterministic)
+            tmap_all = Linear(1, name="predictor_out")(
+                MLPBlock(fuse, 0.1, name="predictor_hidden")(map_cells, deterministic)
+            ).squeeze(-1)  # (B, K+1)
+            tmap_cells, t_inv = tmap_all[:, :K], tmap_all[:, K]
+            tmap = jnp.broadcast_to(t_inv[:, None, None], (B_, L, L))
+            tmap = tmap.at[:, iis, jjs].set(tmap_cells)
+
+            # + a zero-input sentinel: the dense path's invalid cells carry
+            # encoder(0) (bias-path constants), observable in raw outputs
+            projc_all = Linear(contrast_dim, name="contrast_encoder_out")(
+                jax.nn.relu(Linear(contrast_dim, name="contrast_encoder_hidden")(
+                    jnp.concatenate([mapc_cells,
+                                     jnp.zeros((B_, 1, fuse), mapc_cells.dtype)], axis=1))))
+            projc, proj_inv = projc_all[:, :K], projc_all[:, K]
+            map2d_proj = jnp.broadcast_to(proj_inv[:, None, None, :],
+                                          (B_, L, L, contrast_dim))
+            map2d_proj = map2d_proj.at[:, iis, jjs].set(projc)
+        else:
+            # content stream: segment-max map (only valid cells are nonzero)
+            map2d_c = segment_max_map(fuse_feature, list(offsets))
+            map2d_c = map2d_c * mask2d[None, :, :, None]
+            z = A[:, :, None, :] + Bt[:, None, :, :] \
+                + jnp.einsum("bijf,fg->bijg", map2d_c, W3) + b
+            z = jnp.where(mask2d[None, :, :, None], z, b)
+            map2d = jax.nn.relu(z)
+            map2d = nn.Dropout(0.1)(map2d, deterministic=deterministic)
+
+            tmap = Linear(1, name="predictor_out")(
+                MLPBlock(fuse, 0.1, name="predictor_hidden")(map2d, deterministic)).squeeze(-1)
+
+            map2d_proj = Linear(contrast_dim, name="contrast_encoder_out")(
+                jax.nn.relu(Linear(contrast_dim, name="contrast_encoder_hidden")(map2d_c)))
+
         sen_proj = Linear(contrast_dim, name="contrast_encoder_t_out")(
             jax.nn.relu(Linear(contrast_dim, name="contrast_encoder_t_hidden")(sentence_feature)))
 
@@ -346,7 +395,10 @@ class BAN(nn.Module):
         prop_i = cells_i[sel_idx]  # start index s
         prop_j = cells_j[sel_idx]  # end-1 index (e = j+1)
         bidx = jnp.arange(tmap.shape[0])[:, None]
-        prop_feature = map2d[bidx, prop_i, prop_j]  # (B, P, F)
+        if compact:
+            prop_feature = jnp.take_along_axis(map_cells[:, :-1], sel_idx[..., None], axis=1)
+        else:
+            prop_feature = map2d[bidx, prop_i, prop_j]  # (B, P, F)
         if "start_end_offset" in batch:
             offset_gt = batch["start_end_offset"][bidx, prop_i, prop_j]  # (B, P, 2)
         else:
