@@ -50,6 +50,8 @@ MODELS = {
                             {"actionformer.pallas_min_len": -1}),
     # long-video 2D-map regime: 128-grid, 2D-TAN TACoS pooling recipe
     "BANLong": (f"{REPO}/configs/tacos_ban_long.yaml", {}),
+    # throughput variant: the compact map leaves HBM headroom for 4x batch
+    "BANLong_B32": (f"{REPO}/configs/tacos_ban_long.yaml", {"train.batch_size": 32}),
     # mixed-precision training variants (train.compute_dtype)
     "SeqPAN_bf16": (f"{REF}/charades/SeqPAN.yaml",
                     {"train.compute_dtype": "bfloat16"}),
