@@ -112,11 +112,13 @@ def main(batch_size=128):
 
 
 if __name__ == "__main__":
-    import sys
+    import argparse
 
+    ap = argparse.ArgumentParser(description=__doc__)
     # optional offline/serving batch size (default 128 = the reference's
     # shipped Charades batch, the comparable headline number)
-    bs = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 128
+    ap.add_argument("--batch", type=int, default=128)
+    bs = ap.parse_args().batch
     # the tunneled TPU backend occasionally fails registration transiently
     # (see .claude/skills/verify); one retry in a fresh attempt covers it
     try:

@@ -130,3 +130,17 @@ def test_fast_top1_matches_full():
     full_top1 = _grid_to_seconds(kept_segs[:, 0], batch) / batch["duration"][:, None]
     np.testing.assert_allclose(np.asarray(fast), np.asarray(full_top1),
                                atol=1e-6, rtol=1e-6)
+
+    # degenerate batch: every candidate below pre_nms_thresh -> the NMS path
+    # flags everything valid=False; the fast path (which has no validity
+    # channel) must emit a zero-LENGTH span, not argmax's arbitrary cell-0
+    # segment
+    outputs_low = dict(outputs)
+    outputs_low["cls_logits"] = jnp.full((B, P, 1), -20.0)
+    fast = np.asarray(actionformer_infer(outputs_low, batch, cfg))
+    _, _, valids = _decode_and_nms(outputs_low, cfg)
+    assert not bool(np.asarray(valids).any())
+    expected = np.asarray(
+        _grid_to_seconds(jnp.zeros((B, 2)), batch) / batch["duration"][:, None])
+    np.testing.assert_allclose(fast, expected, atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(fast[:, 0], fast[:, 1], atol=1e-6)

@@ -59,6 +59,36 @@ def test_microbatching_concurrent_requests_consistent(service_and_data):
         np.testing.assert_allclose(a["pred_frac"], b["pred_frac"], atol=1e-6)
 
 
+def test_service_batch_size_above_train_batch_size():
+    """--batch-size larger than cfg.train.batch_size (16 here) must serve all
+    requests in one micro-batch — previously the assembler silently built a
+    train-batch_size batch and the overflow rows raised IndexError."""
+    from vmrframe_tpu.tools.serve import build_service
+
+    service, dataset = build_service(
+        "tests/configs/charades_seqpan.yaml", None, True, 24, 50.0,
+        n_synthetic=24)
+    try:
+        recs = dataset["test_set"][:20]
+        results = [None] * len(recs)
+
+        def one(i):
+            r = recs[i]
+            results[i] = service.predict(r["vid"], r["sentence"], r["duration"])
+
+        threads = [threading.Thread(target=one, args=(i,)) for i in range(len(recs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for r, out in zip(recs, results):
+            assert out is not None
+            f0, f1 = out["pred_frac"]
+            assert 0.0 <= f0 <= f1 <= 1.0
+    finally:
+        service.close()
+
+
 def test_http_roundtrip(service_and_data):
     from vmrframe_tpu.tools.serve import make_http_server
 

@@ -288,6 +288,11 @@ def actionformer_infer(outputs, batch, cfg):
     if test.nms_method != "none" and voting > 0 \
             and not bool(getattr(test, "multiclass_nms", False)):
         top = batched_seg_voting(top, segs, scores, voting)
+    # degenerate case: every candidate fell below pre_nms_thresh (scores all
+    # zeroed) — the NMS path yields valid=False/zero segments; match it
+    # instead of emitting argmax's arbitrary cell-0 segment
+    any_valid = scores.max(axis=1) > 0
+    top = jnp.where(any_valid[:, None, None], top, 0.0)
     secs = _grid_to_seconds(top[:, 0], batch)
     return secs / batch["duration"][:, None]
 

@@ -113,7 +113,11 @@ class MomentRetrievalService:
 
         entry = get_model_entry(self.cfg.model.name)
         batcher_cls = entry.batcher_cls or Batcher
-        b = batcher_cls(records, self.store, self.cfg, self.derived, "test")
+        # the device batch must be shaped to the SERVICE batch size, not the
+        # config's train batch size — with --batch-size > train.batch_size the
+        # default would silently drop the overflow records and misalign props
+        b = batcher_cls(records, self.store, self.cfg, self.derived, "test",
+                        batch_size=self.batch_size)
         return next(b.epoch(seed=0, shuffle=False))
 
     def _run(self, batch) -> np.ndarray:
@@ -295,6 +299,10 @@ def make_http_server(service, port: int):
                                      "model": req.get("model") or router.default})
                 except (KeyError, ValueError, FileNotFoundError) as e:
                     self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                except Exception as e:  # corrupt/partial ckpt: OSError, msgpack
+                    # decode errors, shape-mismatch TypeError — return JSON 500
+                    # instead of dropping the connection
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
                 return
             if not self.path.startswith("/predict"):
                 self._send(404, {"error": "not found"})
