@@ -47,11 +47,12 @@ def reference_baseline_qps():
         return REFERENCE_GPU_QPS_ESTIMATE, "estimate"
 
 
-def main(batch_size=128):
+def main(batch_size=128, chunk=256):
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _build, _make_cfg
+    from vmrframe_tpu.ops.chunked import chunked_batch_apply
 
     cfg = _make_cfg(batch_size=batch_size)
     model, entry, derived, batch, _ = _build(cfg, batch_size=batch_size)
@@ -72,16 +73,22 @@ def main(batch_size=128):
     def make_loop(n):
         @jax.jit
         def loop(variables, batch):
+            def fwd_infer(b):
+                out = model.apply(variables, b, True)
+                o32 = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.float32)
+                    if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x, out)
+                return entry.infer_fn(o32, b, cfg)
+
             def body(i, acc):
                 b = dict(batch)
                 # different data every iteration (prevents loop-invariant
                 # hoisting); the tiny acc feedback forbids parallelization
                 b["vfeats"] = jnp.roll(batch["vfeats"], i, axis=1) + acc * 1e-9
-                out = model.apply(variables, b, True)
-                o32 = jax.tree_util.tree_map(
-                    lambda x: x.astype(jnp.float32)
-                    if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x, out)
-                props = entry.infer_fn(o32, batch, cfg)
+                # beyond the measured fusion knee (B>256) run the compact
+                # per-chunk schedule (ops/chunked.py has the measurements)
+                props = (chunked_batch_apply(fwd_infer, b, batch_size, chunk)
+                         if chunk else fwd_infer(b))
                 return acc + jnp.sum(props)
             return jax.lax.fori_loop(0, n, body, 0.0)
         return loop
@@ -118,16 +125,19 @@ if __name__ == "__main__":
     # optional offline/serving batch size (default 128 = the reference's
     # shipped Charades batch, the comparable headline number)
     ap.add_argument("--batch", type=int, default=128)
-    bs = ap.parse_args().batch
+    # chunked large-batch tiling (ops/chunked.py); 0 disables
+    ap.add_argument("--chunk", type=int, default=256)
+    _a = ap.parse_args()
+    bs, ck = _a.batch, _a.chunk
     # the tunneled TPU backend occasionally fails registration transiently
     # (see .claude/skills/verify); one retry in a fresh attempt covers it
     try:
-        main(bs)
+        main(bs, ck)
     except RuntimeError as e:
         if "backend" in str(e).lower():
             import time as _t
 
             _t.sleep(20)
-            main(bs)
+            main(bs, ck)
         else:
             raise

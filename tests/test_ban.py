@@ -99,6 +99,76 @@ def test_ban_trains_and_evals(ban_cfg):
     np.testing.assert_allclose(ious1, ious2, atol=1e-6)
 
 
+def _ban_loss_and_grads(cfg, dataset, store, compact: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from vmrframe_tpu.config import Derived
+    from vmrframe_tpu.registry import get_model_entry
+
+    derived = Derived(num_words=dataset["n_words"], num_chars=dataset["n_chars"],
+                      num_train_steps=2, steps_per_epoch=1)
+    entry = get_model_entry("BAN")
+    batcher = entry.batcher_cls(dataset["train_set"], store, cfg, derived, "train")
+    batch = next(batcher.epoch(seed=0, shuffle=False))
+    cfg_v = cfg.updated({"model.compact_map": compact})
+    model = entry.model_cls(cfg_v, derived, dataset["word_vector"])
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng}, batch, True)
+
+    def loss_fn(params):
+        outputs = model.apply({**variables, "params": params}, batch, True)
+        return entry.loss_fn(outputs, batch, cfg_v)
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    return float(loss), grads
+
+
+@pytest.mark.parametrize("config_path,shrink", [
+    ("tests/configs/charades_ban.json", None),
+    # the shipped long-video config's STRUCTURE (vlen 128, 2D-TAN TACoS
+    # pooling [15,8,8,8] -> far sparser valid-cell fraction), tiny widths
+    (os.path.join(os.path.dirname(__file__), "..", "configs", "tacos_ban_long.yaml"),
+     {"model.dim": 16, "model.vdim": 24, "model.fuse_dim": 32,
+      "model.contrast_dim": 16, "model.query_embed_dim": 50,
+      "model.word_dim": 50, "model.char_dim": 16, "model.tlen": 8,
+      "train.batch_size": 2}),
+])
+def test_compact_map_train_mode_loss_and_grads_match_dense(config_path, shrink):
+    """TRAINING equivalence of the compact-cells map (the production
+    default): the 5-term BAN loss AND every parameter gradient are equal
+    compact vs dense on the same weights/batch (dropout off — with dropout
+    on, both paths apply iid Bernoulli(0.1) masks per VALID cell, identical
+    in distribution; they differ only in which PRNG bits land on which cell
+    and in the unobserved invalid-cell constants; see models/ban.py)."""
+    import numpy as np
+
+    from vmrframe_tpu.config import load_config
+    from vmrframe_tpu.testing import make_synthetic_data
+
+    cfg = load_config(config_path)
+    if shrink:
+        cfg = cfg.updated(shrink)
+    dataset, store = make_synthetic_data(cfg, seed=0, n_train=4, n_test=2)
+
+    loss_c, grads_c = _ban_loss_and_grads(cfg, dataset, store, compact=True)
+    loss_d, grads_d = _ban_loss_and_grads(cfg, dataset, store, compact=False)
+    np.testing.assert_allclose(loss_c, loss_d, rtol=2e-5)
+
+    import jax
+
+    flat_c = jax.tree_util.tree_leaves_with_path(grads_c)
+    flat_d = dict(jax.tree_util.tree_leaves_with_path(grads_d))
+    assert len(flat_c) == len(flat_d)
+    for path, g in flat_c:
+        gd = flat_d[path]
+        scale = max(float(np.max(np.abs(np.asarray(gd)))), 1e-6)
+        # measured worst-case accumulation-order noise: 3.4e-05 normalized
+        np.testing.assert_allclose(
+            np.asarray(g) / scale, np.asarray(gd) / scale, atol=1.5e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
 def test_compact_map_exactly_matches_dense(charades_ban_cfg=None):
     """The compact-cells path (default) == the dense-map path in eval mode,
     cell for cell — including the bias-constant invalid cells that

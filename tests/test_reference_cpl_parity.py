@@ -175,6 +175,32 @@ def test_generate_gauss_weight_vs_reference(ref, rng):
 
 # ------------------------------------------------------- full CPL forward --
 
+def convert_cpl_params(ref_model, variables):
+    """Map the reference CPL model's state_dict into our variables tree
+    (params + constants), in place; returns the tree."""
+    sd = ref_model.state_dict()
+    p = variables["params"]
+    va = p["video_affine"]
+    va["video_conv1d"]["kernel"] = np_(sd["video_affine.video_conv1d.conv1d.weight"])[:, :, 0].T
+    va["video_conv1d"]["bias"] = np_(sd["video_affine.video_conv1d.conv1d.bias"])
+    va["v_layer_norm"]["scale"] = np_(sd["video_affine.v_layer_norm.weight"])
+    va["v_layer_norm"]["bias"] = np_(sd["video_affine.v_layer_norm.bias"])
+    p["word_emb"]["unk_vec"] = np_(sd["word_emb.unk_vec"])
+    variables["constants"]["word_emb"]["glove_vec"] = np_(sd["word_emb.glove_vec"])
+    p["start_vec"] = np_(sd["start_vec"])
+    p["word_fc_kernel"] = np_(sd["word_fc.weight"]).T
+    p["word_fc_bias"] = np_(sd["word_fc.bias"])
+    p["conv1d_cw_kernel"] = np_(sd["conv1d_cw.weight"])[0]  # (1, L, 1) -> (L, 1)
+    p["conv1d_cw_bias"] = np_(sd["conv1d_cw.bias"])
+    p["fc_gauss_kernel"] = np_(sd["fc_gauss.weight"]).T
+    p["fc_gauss_bias"] = np_(sd["fc_gauss.bias"])
+    p["fc_comp_kernel"] = np_(sd["fc_comp.weight"]).T
+    p["fc_comp_bias"] = np_(sd["fc_comp.bias"])
+    p["decoder1"] = map_decoder(ref_model.decoder1)
+    p["decoder2"] = map_decoder(ref_model.decoder2)
+    return variables
+
+
 def test_cpl_full_model_vs_reference(ref, rng):
     from vmrframe_tpu.config import Config, Derived
     from vmrframe_tpu.models.cpl import CPL as OurCPL
@@ -221,27 +247,7 @@ def test_cpl_full_model_vs_reference(ref, rng):
     k = jax.random.PRNGKey(0)
     variables = ours.init({"params": k, "dropout": k}, batch, True)
     variables = jax.tree_util.tree_map(np.asarray, variables)
-
-    sd = ref_model.state_dict()
-    p = variables["params"]
-    va = p["video_affine"]
-    va["video_conv1d"]["kernel"] = np_(sd["video_affine.video_conv1d.conv1d.weight"])[:, :, 0].T
-    va["video_conv1d"]["bias"] = np_(sd["video_affine.video_conv1d.conv1d.bias"])
-    va["v_layer_norm"]["scale"] = np_(sd["video_affine.v_layer_norm.weight"])
-    va["v_layer_norm"]["bias"] = np_(sd["video_affine.v_layer_norm.bias"])
-    p["word_emb"]["unk_vec"] = np_(sd["word_emb.unk_vec"])
-    variables["constants"]["word_emb"]["glove_vec"] = np_(sd["word_emb.glove_vec"])
-    p["start_vec"] = np_(sd["start_vec"])
-    p["word_fc_kernel"] = np_(sd["word_fc.weight"]).T
-    p["word_fc_bias"] = np_(sd["word_fc.bias"])
-    p["conv1d_cw_kernel"] = np_(sd["conv1d_cw.weight"])[0]  # (1, L, 1) -> (L, 1)
-    p["conv1d_cw_bias"] = np_(sd["conv1d_cw.bias"])
-    p["fc_gauss_kernel"] = np_(sd["fc_gauss.weight"]).T
-    p["fc_gauss_bias"] = np_(sd["fc_gauss.bias"])
-    p["fc_comp_kernel"] = np_(sd["fc_comp.weight"]).T
-    p["fc_comp_bias"] = np_(sd["fc_comp.bias"])
-    p["decoder1"] = map_decoder(ref_model.decoder1)
-    p["decoder2"] = map_decoder(ref_model.decoder2)
+    variables = convert_cpl_params(ref_model, variables)
 
     out = ours.apply(variables, batch, True)
     for key in ("words_logit", "width", "center", "gauss_weight"):

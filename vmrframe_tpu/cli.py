@@ -70,7 +70,7 @@ def main(argv=None):
     from vmrframe_tpu.config import Derived, load_config
     from vmrframe_tpu.data.batcher import Batcher
     from vmrframe_tpu.data.datasets import load_dataset
-    from vmrframe_tpu.data.features import VideoFeatureStore
+    from vmrframe_tpu.data.features import open_feature_store
     from vmrframe_tpu.metrics import get_i345_mi
     from vmrframe_tpu.registry import get_model_entry
     from vmrframe_tpu.train.trainer import Trainer, fit
@@ -87,7 +87,7 @@ def main(argv=None):
 
         dataset, features = make_synthetic_data(cfg, seed=args.seed)
     else:
-        features = VideoFeatureStore(cfg.paths.feature_path, cfg.model.vlen, lazy=args.debug)
+        features = open_feature_store(cfg.paths.feature_path, cfg.model.vlen, lazy=args.debug)
         dataset = load_dataset(cfg, derived, vfeat_lens=features.lengths())
 
     derived.num_words = dataset["n_words"]

@@ -8,6 +8,12 @@ batches.
 
 ``SyntheticFeatureStore`` generates deterministic random features per vid so
 tests/benchmarks run with no dataset on disk.
+
+``H5FeatureStore`` reads per-video datasets out of one HDF5 file — the
+feature layout the reference's alternate ActionFormer dataset is written
+for (utils/ActionFormerDataset.py:3 imports h5py; its ``video_features``
+dict-like is indexed per vid at :169).  Works with every batcher here, not
+just the ActionFormer one.
 """
 
 from __future__ import annotations
@@ -50,6 +56,59 @@ class VideoFeatureStore:
                     shape, _, _ = np.lib.format._read_array_header(f, version)
                 out[vid] = shape[0]
             return out
+        return {vid: feat.shape[0] for vid, feat in self.features.items()}
+
+
+def open_feature_store(path: str, max_vlen: int, lazy: bool = False):
+    """Dispatch on the feature path: an ``.h5``/``.hdf5`` FILE opens as an
+    ``H5FeatureStore``; a directory globs ``*.npy`` (the reference's main
+    layout, utils/data_utils.py:13-40)."""
+    if os.path.isfile(path) and path.endswith((".h5", ".hdf5")):
+        return H5FeatureStore(path, lazy=lazy)
+    return VideoFeatureStore(path, max_vlen, lazy=lazy)
+
+
+class H5FeatureStore:
+    """Features in one HDF5 file: ``file[vid]`` is a (T, D) float dataset.
+
+    ``transpose`` handles stores written channel-first (C, T) — the layout
+    the reference's alt ActionFormer dataset expects before its own ``.T``
+    (utils/ActionFormerDataset.py:169,206).  Eager mode decodes everything
+    to RAM once; lazy mode keeps the file open and reads per item.
+    """
+
+    def __init__(self, path: str, lazy: bool = False, transpose: bool = False):
+        import h5py
+
+        self.path = path
+        self.lazy = lazy
+        self.transpose = transpose
+        self._file = h5py.File(path, "r")
+        self._keys = set(self._file.keys())
+        self.features: Dict[str, np.ndarray] = {}
+        if not lazy:
+            for vid in self._keys:
+                self.features[vid] = self._decode(self._file[vid])
+            self._file.close()
+            self._file = None
+
+    def _decode(self, dset) -> np.ndarray:
+        arr = np.asarray(dset, dtype=np.float32)
+        return arr.T if self.transpose else arr
+
+    def __contains__(self, vid: str) -> bool:
+        return str(vid) in self._keys
+
+    def __getitem__(self, vid: str) -> np.ndarray:
+        vid = str(vid)
+        if self.lazy:
+            return self._decode(self._file[vid])
+        return self.features[vid]
+
+    def lengths(self) -> Dict[str, int]:
+        if self.lazy:
+            ax = 1 if self.transpose else 0
+            return {vid: int(self._file[vid].shape[ax]) for vid in self._keys}
         return {vid: feat.shape[0] for vid, feat in self.features.items()}
 
 

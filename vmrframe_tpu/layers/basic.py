@@ -83,6 +83,26 @@ class LayerNorm(nn.Module):
         return y * scale + bias
 
 
+def embedding_lookup(table: jnp.ndarray, ids: jnp.ndarray,
+                     one_hot_max: int = 8192) -> jnp.ndarray:
+    """Row gather ``table[ids]`` expressed TPU-natively.
+
+    XLA lowers a dynamic gather on TPU to scalar-indexed loads that dominate
+    the whole text front end at serving batch sizes (measured: the char-table
+    gather alone cost 0.40 ms at B=512 while a one-hot matmul on the MXU
+    measures below timer resolution at the same shape — round-3 batch-scaling
+    profile, docs/PROFILE_BATCH.json).  A one-hot matmul is numerically
+    EXACT here (one nonzero per row, so no accumulation), grads included
+    (scatter-add == oh^T @ g).  Falls back to ``jnp.take`` for vocabularies
+    large enough that materializing the one-hot would cost more than the
+    gather."""
+    V = table.shape[0]
+    if V <= one_hot_max:
+        oh = jax.nn.one_hot(ids, V, dtype=table.dtype)
+        return jnp.einsum("...v,vd->...d", oh, table)
+    return jnp.take(table, ids, axis=0)
+
+
 class WordEmbedding(nn.Module):
     """Frozen GloVe + trainable UNK + zero PAD (models/layers.py:28-48).
 
@@ -105,7 +125,7 @@ class WordEmbedding(nn.Module):
         ).value
         pad = jnp.zeros((1, self.word_dim), dtype=jnp.float32)
         table = jnp.concatenate([pad, unk, glove], axis=0)
-        emb = jnp.take(table, word_ids, axis=0)
+        emb = embedding_lookup(table, word_ids)
         return nn.Dropout(self.droprate)(emb, deterministic=deterministic)
 
 
@@ -131,7 +151,7 @@ class CharacterEmbedding(nn.Module):
             nn.initializers.normal(stddev=1.0),  # torch nn.Embedding default N(0,1)
             (self.num_chars, self.char_dim),
         )
-        emb = jnp.take(table, char_ids, axis=0)  # (B, W, C, char_dim)
+        emb = embedding_lookup(table, char_ids)  # (B, W, C, char_dim)
         # padding_idx=0 semantics: zero out PAD rows (grad-free by masking)
         emb = emb * (char_ids != 0).astype(emb.dtype)[..., None]
         emb = nn.Dropout(self.droprate)(emb, deterministic=deterministic)

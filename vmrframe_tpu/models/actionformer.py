@@ -212,6 +212,13 @@ def actionformer_loss(outputs, batch, cfg, extras):
 
     weight = tc.loss_weight if tc.loss_weight > 0 else 1.0
     final = cls_loss + reg_loss * weight
+    # the reference's train engine steps on reg_loss ONLY — the cls head is
+    # never trained there (train_engine_ActionFormer, models/ActionFormer.py:
+    # 154-161, a genuine reference pathology).  Default is the meta-arch's
+    # final_loss (meta_archs.py:588-592); set train_cfg.engine_loss: "reg"
+    # for engine-exact trajectories.
+    if str(tc.get("engine_loss", "final")) == "reg":
+        final = reg_loss
     return final, {"loss_normalizer": loss_normalizer}
 
 

@@ -70,7 +70,9 @@ class BANQueryEncoder(nn.Module):
         ).value
         pad = jnp.zeros((1, self.embed_dim), dtype=jnp.float32)
         table = jnp.concatenate([pad, unk, glove], axis=0)
-        emb = jnp.take(table, tokens, axis=0)
+        from vmrframe_tpu.layers.basic import embedding_lookup
+
+        emb = embedding_lookup(table, tokens)
         out = LSTM(self.hidden_dim, self.num_layers, bidirectional=True, name="biLSTM")(emb, lengths)
         return masked_mean(out, lengths), out
 

@@ -165,6 +165,53 @@ def _layer_norm(x, scale, bias, eps=1e-5):
     return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
+class RefBatchTransformerLayer(nn.Module):
+    """QUIRK-EXACT re-expression of the reference's V_TransformerLayer call
+    (models/CCA.py:337-340): the (B, C, T+A) tensor goes into
+    nn.TransformerEncoderLayer WITHOUT batch_first, so torch attends ACROSS
+    THE BATCH — sequence = the B samples, batch = the C channel rows,
+    d_model = T+A.  Default OFF (``model.ref_transformer_quirk``): the
+    per-sample TransformerLayer above is the intended semantics.  This
+    branch exists so training trajectories can be pinned against the real
+    reference (tests/test_reference_trainer_parity_zoo.py).  Parameter
+    layout mirrors torch for direct checkpoint conversion."""
+
+    d_model: int
+    nhead: int = 8
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B, C, E = x.shape
+        H, hd = self.nhead, E // self.nhead
+        drop = lambda t: nn.Dropout(self.dropout)(t, deterministic=deterministic)
+        w = self.param("in_proj_weight", nn.initializers.xavier_uniform(), (3 * E, E))
+        b = self.param("in_proj_bias", nn.initializers.zeros, (3 * E,))
+        q = (x @ w[:E].T + b[:E]) * (hd ** -0.5)
+        k = x @ w[E:2 * E].T + b[E:2 * E]
+        v = x @ w[2 * E:].T + b[2 * E:]
+        q = q.reshape(B, C, H, hd)
+        k = k.reshape(B, C, H, hd)
+        v = v.reshape(B, C, H, hd)
+        att = jax.nn.softmax(jnp.einsum("ichd,jchd->chij", q, k), axis=-1)
+        att = drop(att)
+        out = jnp.einsum("chij,jchd->ichd", att, v).reshape(B, C, E)
+        ow = self.param("out_proj_kernel", nn.initializers.xavier_uniform(), (E, E))
+        ob = self.param("out_proj_bias", nn.initializers.zeros, (E,))
+        x = _layer_norm(x + drop(out @ ow + ob),
+                        self.param("ln1_scale", nn.initializers.ones, (E,)),
+                        self.param("ln1_bias", nn.initializers.zeros, (E,)))
+        w1 = self.param("ff1_kernel", nn.initializers.xavier_uniform(), (E, self.dim_feedforward))
+        b1 = self.param("ff1_bias", nn.initializers.zeros, (self.dim_feedforward,))
+        w2 = self.param("ff2_kernel", nn.initializers.xavier_uniform(), (self.dim_feedforward, E))
+        b2 = self.param("ff2_bias", nn.initializers.zeros, (E,))
+        ff = drop(jax.nn.relu(x @ w1 + b1)) @ w2 + b2
+        return _layer_norm(x + drop(ff),
+                           self.param("ln2_scale", nn.initializers.ones, (E,)),
+                           self.param("ln2_bias", nn.initializers.zeros, (E,)))
+
+
 class BatchNorm2dTanhConv(nn.Module):
     """conv5x5 -> tanh(BatchNorm) -> conv3x3 over (B, L, L, C) maps
     (SimPredictor's map branch, models/CCA.py:253-258)."""
@@ -212,7 +259,10 @@ class CCA(nn.Module):
         A = concept_basis.shape[0]
         cb = jnp.broadcast_to(concept_basis.T[None], (feats.shape[0], embed_size, A))
         x = jnp.concatenate([feats, cb], axis=2)  # (B, H, T+A)
-        x = TransformerLayer(L + A, name="V_TransformerLayer")(x, deterministic)
+        if bool(cfg.model.get("ref_transformer_quirk", False)):
+            x = RefBatchTransformerLayer(L + A, name="V_TransformerLayer")(x, deterministic)
+        else:
+            x = TransformerLayer(L + A, name="V_TransformerLayer")(x, deterministic)
         feats = x[:, :, :L].transpose(0, 2, 1)  # (B, L, H)
 
         _, cells = cca_strided_mask_meta(list(mc.FEAT2D.POOLING_COUNTS), L)
@@ -226,7 +276,9 @@ class CCA(nn.Module):
         ).value
         pad = jnp.zeros((1, cfg.model.word_dim), jnp.float32)
         table = jnp.concatenate([pad, unk, glove], axis=0)
-        tfeat = jnp.take(table, batch["words_ids"], axis=0)
+        from vmrframe_tpu.layers.basic import embedding_lookup
+
+        tfeat = embedding_lookup(table, batch["words_ids"])
 
         qh = mc.INTEGRATOR.QUERY_HIDDEN_SIZE // 2  # bidirectional halves
         q_out = LSTM(qh, mc.INTEGRATOR.LSTM.NUM_LAYERS, bidirectional=True,

@@ -153,6 +153,34 @@ def bench_model(name: str, n_small: int, n_big: int):
           - timed(eval_loop, (state, device_batch), ev_small)) / (ev_big - ev_small)
     res["eval_ms_per_step"] = round(ev * 1e3, 2)
     res["eval_qps"] = round(B / ev, 1)
+
+    # --- MFU accounting: XLA's own per-step cost analysis vs silicon peak.
+    # v5e peak is 394 TFLOP/s in bf16; f32 ops are emulated on the same MXU
+    # (about half rate via bf16x3 passes), so MFU for f32 configs is quoted
+    # against the same bf16 peak — a deliberately conservative denominator.
+    PEAK_FLOPS = 394e12
+    try:
+        @jax.jit
+        def one_train(state, batch, rng):
+            st, metrics = trainer._train_step(state, batch, rng)
+            return metrics["loss"]
+
+        @jax.jit
+        def one_eval(state, batch):
+            return trainer._eval_step(state, batch)["ious"]
+
+        tf = float(one_train.lower(state, device_batch, step_rng)
+                   .compile().cost_analysis().get("flops", 0.0))
+        ef = float(one_eval.lower(state, device_batch)
+                   .compile().cost_analysis().get("flops", 0.0))
+        res["train_gflops_per_step"] = round(tf / 1e9, 2)
+        res["eval_gflops_per_step"] = round(ef / 1e9, 2)
+        res["train_achieved_tflops"] = round(tf / tr / 1e12, 2)
+        res["eval_achieved_tflops"] = round(ef / ev / 1e12, 2)
+        res["train_mfu_pct"] = round(100.0 * tf / tr / PEAK_FLOPS, 2)
+        res["eval_mfu_pct"] = round(100.0 * ef / ev / PEAK_FLOPS, 2)
+    except Exception as e:  # cost analysis availability is backend-dependent
+        res["mfu_error"] = f"{type(e).__name__}: {e}"
     return res
 
 

@@ -160,7 +160,7 @@ def main(argv=None):
 
     from vmrframe_tpu.config import Derived, load_config
     from vmrframe_tpu.data.datasets import load_dataset
-    from vmrframe_tpu.data.features import VideoFeatureStore
+    from vmrframe_tpu.data.features import open_feature_store
     from vmrframe_tpu.train.checkpoints import restore_into_state
     from vmrframe_tpu.train.trainer import Trainer
 
@@ -171,7 +171,7 @@ def main(argv=None):
 
         dataset, features = make_synthetic_data(cfg, seed=args.seed)
     else:
-        features = VideoFeatureStore(cfg.paths.feature_path, cfg.model.vlen)
+        features = open_feature_store(cfg.paths.feature_path, cfg.model.vlen)
         dataset = load_dataset(cfg, derived, vfeat_lens=features.lengths())
     derived.num_words = dataset["n_words"]
     derived.num_chars = dataset["n_chars"]

@@ -132,6 +132,48 @@ def profile_train(out_path):
         _timed_chain(body_grad, jnp.float32(0.0), (db,)) * 1e3, 3)
     print({"loss_and_grad": results["loss_and_grad"]}, flush=True)
 
+    # same as loss_and_grad but with per-iteration dropout keys (the real
+    # step folds rng with state.step — constant keys let XLA hoist the mask
+    # generation out of the loop, undercounting it)
+    def make_loss_fn_rng(b, key):
+        def loss_fn(params):
+            variables = trainer._cast_for_compute({"params": params, **state.constants})
+            cb = trainer._cast_for_compute(b)
+            d, g = jax.random.split(key)
+            outputs = model.apply(variables, cb, False,
+                                  rngs={"dropout": d, "gumbel": g})
+            outputs = trainer._upcast_outputs(outputs)
+            return entry.loss_fn(outputs, b, cfg), outputs
+        return loss_fn
+
+    def body_grad_rng(i, tok, b):
+        b = perturb(b, i, tok)
+        key = jax.random.fold_in(jax.random.PRNGKey(3), i)
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: make_loss_fn_rng(b, key)(p), has_aux=True)(state.params)
+        g0 = jax.tree_util.tree_leaves(grads)[0]
+        return tok + loss + jnp.sum(g0.astype(jnp.float32)) * 1e-9
+
+    results["loss_and_grad_fresh_rng"] = round(
+        _timed_chain(body_grad_rng, jnp.float32(0.0), (db,)) * 1e3, 3)
+    print({"loss_and_grad_fresh_rng": results["loss_and_grad_fresh_rng"]}, flush=True)
+
+    # + clip/AdamW/schedule (chained params+opt, still no infer/IoU)
+    def body_grad_opt(i, carry, b):
+        params, opt_state = carry
+        b = perturb(b, i, jnp.float32(i))
+        key = jax.random.fold_in(jax.random.PRNGKey(3), i)
+        (_, _), grads = jax.value_and_grad(
+            lambda p: make_loss_fn_rng(b, key)(p), has_aux=True)(params)
+        updates, opt_state = trainer.tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    import optax
+
+    results["grad_plus_optimizer"] = round(
+        _timed_chain(body_grad_opt, (state.params, state.opt_state), (db,)) * 1e3, 3)
+    print({"grad_plus_optimizer": results["grad_plus_optimizer"]}, flush=True)
+
     def body_full(i, st, b, r):
         st2, _ = trainer._train_step(st, perturb(b, i, jnp.float32(i)), r)
         return st2
@@ -153,6 +195,8 @@ def main():
     ap.add_argument("--grad", action="store_true",
                     help="per-block fwd+bwd timings (value_and_grad per block)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--batch", type=int, default=128,
+                    help="eval-profile batch size (per-block batch scaling)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -161,8 +205,10 @@ def main():
     if args.train:
         profile_train(args.out or os.path.join(REPO, "docs", "PROFILE_SEQPAN_TRAIN.json"))
         return
+    suffix = "" if args.batch == 128 else f"_B{args.batch}"
     args.out = args.out or os.path.join(
-        REPO, "docs", "PROFILE_SEQPAN_GRAD.json" if args.grad else "PROFILE_SEQPAN.json")
+        REPO, "docs",
+        ("PROFILE_SEQPAN_GRAD.json" if args.grad else f"PROFILE_SEQPAN{suffix}.json"))
 
     import jax
     import jax.numpy as jnp
@@ -173,7 +219,7 @@ def main():
     from vmrframe_tpu.layers.basic import Embedding, FeatureEncoder, VisualProjection
     from vmrframe_tpu.ops.span import infer_span_1d
 
-    B = 128
+    B = args.batch
     cfg = ge._make_cfg(batch_size=B)
     model, entry, derived, batch, word_vectors = ge._build(cfg, batch_size=B)
     m = cfg.model

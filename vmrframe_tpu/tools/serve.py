@@ -341,11 +341,11 @@ def build_service(cfg_path: str, checkpoint: Optional[str], synthetic: bool,
                                              n_test=n_synthetic)
     else:
         from vmrframe_tpu.data.datasets import load_dataset
-        from vmrframe_tpu.data.features import VideoFeatureStore
+        from vmrframe_tpu.data.features import open_feature_store
 
         derived0 = Derived()
         dataset = load_dataset(cfg, derived0)
-        store = VideoFeatureStore(cfg.paths.feature_path, cfg.model.vlen, lazy=True)
+        store = open_feature_store(cfg.paths.feature_path, cfg.model.vlen, lazy=True)
     derived = Derived(num_words=dataset["n_words"], num_chars=dataset["n_chars"],
                       num_train_steps=1, steps_per_epoch=1)
     return MomentRetrievalService(

@@ -40,12 +40,20 @@ def linear_warmup_decay(base_lr: float, num_train_steps: int, warmup_proportion:
 
 def _decay_mask(params) -> Any:
     """True (apply weight decay) unless the param path contains 'bias' or
-    'layer_norm' (the reference's no_decay list, utils/utils.py:89)."""
+    'layer_norm' (the reference's no_decay list, utils/utils.py:89).
+
+    The reference groups by TORCH PARAMETER NAME, so parity is name-mapped:
+    the CPL decoder's norms are torch ``*_attn_layer_norm.weight`` /
+    ``final_layer_norm.weight`` (cpl_lib.py:262-267 — no decay), which we
+    name ``self_ln_scale``/``enc_ln_scale``/``final_ln_scale``; whereas e.g.
+    ActionFormer's ``ln1.weight`` and CCA's transformer ``norm1.weight``
+    DON'T match the reference's list and stay decayed — quirk preserved."""
+    no_decay = ("bias", "layer_norm", "self_ln_", "enc_ln_", "final_ln_")
 
     def mask_from_path(path, _):
         names = [str(getattr(k, "key", k)).lower() for k in path]
         joined = "/".join(names)
-        return not ("bias" in joined or "layer_norm" in joined)
+        return not any(tok in joined for tok in no_decay)
 
     return jax.tree_util.tree_map_with_path(mask_from_path, params)
 
