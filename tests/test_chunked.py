@@ -26,10 +26,13 @@ def test_chunked_equals_direct_on_model_like_fn():
 
     direct = fn(batch)
     for chunk in (4, 8, 16, 32):
-        out = jax.jit(lambda b: chunked_batch_apply(fn, b, B, chunk))(batch)
-        for k in direct:
-            np.testing.assert_allclose(np.asarray(out[k]), np.asarray(direct[k]),
-                                       atol=1e-6, err_msg=f"chunk={chunk} key={k}")
+        for unroll in (True, False):
+            out = jax.jit(lambda b: chunked_batch_apply(
+                fn, b, B, chunk, unroll=unroll))(batch)
+            for k in direct:
+                np.testing.assert_allclose(
+                    np.asarray(out[k]), np.asarray(direct[k]), atol=1e-6,
+                    err_msg=f"chunk={chunk} unroll={unroll} key={k}")
 
 
 def test_chunked_requires_divisibility():

@@ -114,7 +114,13 @@ def _run(cfg, dataset, store, seed=0):
 ZOO = {
     # model: (config file, cfg updates, min absolute mIoU, min gain over untrained)
     "SeqPAN": ("charades_seqpan.yaml", {}, 55.0, 15.0),
-    "BAN": ("charades_ban.json", {}, 55.0, 15.0),
+    # BAN's inference argmaxes the RAW tmap with invalid cells at 0 (the
+    # reference's infer_BAN quirk), so nothing non-degenerate is emitted
+    # until some valid logit crosses 0; at lr 8e-4 the 5-term objective
+    # never gets there on this tiny task (measured flat-zero through 40
+    # epochs), at lr 2e-3 it crosses ~epoch 30 and lands at mIoU ~87.
+    "BAN": ("charades_ban.json", {"train.lr": 0.002, "train.epochs": 40},
+            55.0, 15.0),
     "CCA": ("anet_cca.yaml", {}, 55.0, 15.0),
     "ActionFormer": ("charades_actionformer.yaml", {}, 55.0, 15.0),
     # weakly supervised: no boundary labels at all — the bar is a clear gain
@@ -128,14 +134,7 @@ ZOO = {
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("model", [
-    pytest.param(m, marks=[pytest.mark.xfail(
-        reason="BAN's full 5-term objective anti-learns on this tiny "
-               "synthetic task (corr(tmap, iou2d) goes NEGATIVE while the "
-               "loss falls); BCE-only provably learns (logits cross 0 by "
-               "step ~250).  Term ablation in progress — see docs/ROADMAP.md.",
-        strict=False)] if m == "BAN" else [])
-    for m in ZOO])
+@pytest.mark.parametrize("model", list(ZOO))
 def test_zoo_learns_localizable_signal(model):
     config, updates, absolute, gain = ZOO[model]
     cfg = load_config(os.path.join(CONFIG_DIR, config))

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 
-def chunked_batch_apply(fn, batch: dict, batch_size: int, chunk: int = 256):
+def chunked_batch_apply(fn, batch: dict, batch_size: int, chunk: int = 256,
+                        unroll: bool = True):
     """Apply ``fn`` (dict-batch -> pytree) in ``chunk``-sized slices over the
     leading axis, concatenating results.
 
@@ -31,7 +32,15 @@ def chunked_batch_apply(fn, batch: dict, batch_size: int, chunk: int = 256):
     - ``batch_size`` must be divisible by ``chunk`` (static shapes — callers
       pad the tail batch, as every batcher here already does);
     - with ``batch_size <= chunk`` this is exactly ``fn(batch)``.
-    """
+
+    ``unroll=True`` (default) emits the chunks as a Python loop over STATIC
+    slices inside the jit: each chunk keeps the compact B<=chunk kernel
+    schedule and XLA schedules them back-to-back with static offsets —
+    no scan carry, no dynamic-slice/dynamic-update-slice copies of the
+    inputs/outputs per iteration.  ``unroll=False`` uses ``lax.map``
+    (one compiled body regardless of n — compile-time bound for very
+    large n; measured ~25% slower per query at B=512/chunk=256 than the
+    unrolled form because of the scan's stacking copies)."""
     if batch_size <= chunk:
         return fn(batch)
     assert batch_size % chunk == 0, (batch_size, chunk)
@@ -40,6 +49,13 @@ def chunked_batch_apply(fn, batch: dict, batch_size: int, chunk: int = 256):
     sliced = {k: v for k, v in batch.items()
               if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == batch_size}
     static = {k: v for k, v in batch.items() if k not in sliced}
+
+    if unroll:
+        outs = [fn({**static,
+                    **{k: v[i * chunk:(i + 1) * chunk] for k, v in sliced.items()}})
+                for i in range(n)]
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *outs)
 
     stacked = {k: v.reshape((n, chunk) + v.shape[1:]) for k, v in sliced.items()}
 

@@ -182,6 +182,8 @@ def measure_launch_overhead():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="128,512")
+    ap.add_argument("--save-hlo", action="store_true",
+                    help="dump the scheduled HLO to docs/hlo_eval_B<N>.txt")
     ap.add_argument("--out", default=os.path.join(REPO, "docs", "ROOFLINE.json"))
     args = ap.parse_args()
 
@@ -231,6 +233,9 @@ def main():
             return fwd_infer(jnp.int32(1), jnp.float32(0.0), variables, batch)
 
         hlo = one.lower(vb, bb).compile().as_text()
+        if args.save_hlo:
+            with open(os.path.join(REPO, "docs", f"hlo_eval_B{B}.txt"), "w") as f:
+                f.write(hlo)
         kernels, traffic = parse_entry_traffic(hlo)
         bw_floor_ms = traffic / (report["hbm_gbs_measured"] * 1e9) * 1e3
         launch_floor_ms = kernels * report["launch_overhead_us"] / 1e3
