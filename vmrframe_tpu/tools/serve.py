@@ -330,10 +330,14 @@ def make_http_server(service, port: int):
 
 def build_service(cfg_path: str, checkpoint: Optional[str], synthetic: bool,
                   batch_size: Optional[int], flush_ms: float,
-                  n_synthetic: int = 64):
+                  n_synthetic: int = 64, compute_dtype: str = "bfloat16"):
     from vmrframe_tpu.config import Derived, load_config
 
     cfg = load_config(cfg_path)
+    # serving default is bf16 (metric-guarded: tests/test_mixed_precision.py
+    # ::test_bf16_eval_close_to_f32); --dtype float32 opts out
+    if compute_dtype:
+        cfg = cfg.updated({"train.compute_dtype": compute_dtype})
     if synthetic:
         from vmrframe_tpu.testing import make_synthetic_data
 
@@ -430,6 +434,10 @@ def main():
     ap.add_argument("--flush-ms", type=float, default=5.0)
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--selftest", action="store_true")
+    ap.add_argument("--dtype", choices=["bfloat16", "float32"],
+                    default="bfloat16",
+                    help="serving compute dtype (params stay f32; "
+                         "default bf16 — the MXU-native eval path)")
     args = ap.parse_args()
     if not args.config and not args.model:
         ap.error("need --config and/or --model")
@@ -439,14 +447,16 @@ def main():
     dataset = None
     if args.config:
         services["default"], dataset = build_service(
-            args.config, args.checkpoint, synthetic, args.batch_size, args.flush_ms)
+            args.config, args.checkpoint, synthetic, args.batch_size,
+            args.flush_ms, compute_dtype=args.dtype)
     for spec in args.model or []:
         name, _, rest = spec.partition("=")
         if not rest:
             ap.error(f"--model needs NAME=CONFIG[:CKPT], got {spec!r}")
         cfg_path, _, ckpt = rest.partition(":")
         services[name], ds = build_service(
-            cfg_path, ckpt or None, synthetic, args.batch_size, args.flush_ms)
+            cfg_path, ckpt or None, synthetic, args.batch_size, args.flush_ms,
+            compute_dtype=args.dtype)
         dataset = dataset or ds
     router = ModelRouter(services)
     service = next(iter(services.values()))
