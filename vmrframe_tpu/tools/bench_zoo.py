@@ -197,7 +197,23 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
+    # merge into the existing file so a partial --models run (or a run
+    # killed mid-way) never drops other models' rows
     results = []
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                results = json.load(f).get("results", [])
+        except (json.JSONDecodeError, OSError):
+            results = []
+
+    def upsert(res):
+        for i, row in enumerate(results):
+            if row.get("model") == res["model"]:
+                results[i] = res
+                return
+        results.append(res)
+
     for name in args.models.split(","):
         name = name.strip()
         try:
@@ -206,7 +222,7 @@ def main():
             res = {"model": name, "error": f"{type(e).__name__}: {e}",
                    "trace": traceback.format_exc()[-1500:]}
         print(json.dumps({k: v for k, v in res.items() if k != "trace"}), flush=True)
-        results.append(res)
+        upsert(res)
         import jax
 
         payload = {"device": str(jax.devices()[0]),

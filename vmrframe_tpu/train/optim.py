@@ -58,10 +58,94 @@ def _decay_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(mask_from_path, params)
 
 
-def build_optimizer(cfg, num_train_steps: int, frozen_filter=None) -> optax.GradientTransformation:
-    """``frozen_filter('path/to/param') -> True`` pins that param (zero
-    updates) — the equivalent of the reference's requires_grad=False teacher
-    freezing (e.g. OneTeacher_SoftLabel.py:42-44)."""
+def _frozen_mask_tree(params, frozen_filter):
+    def lab(path, _):
+        joined = "/".join(str(getattr(k, "key", k)) for k in path)
+        return bool(frozen_filter(joined))
+
+    return jax.tree_util.tree_map_with_path(lab, params)
+
+
+def flat_adamw(cfg, num_train_steps: int, frozen_filter=None) -> optax.GradientTransformation:
+    """clip + AdamW + schedule on ONE raveled parameter buffer.
+
+    Numerically the same elementwise math as the optax tree chain in
+    ``tree_adamw`` (global-norm accumulation order aside), but the whole
+    optimizer is ~10 large kernels instead of several per parameter leaf.
+    Measured on v5e at SeqPAN B=128: the tree chain added 5.5 ms to the
+    3.9 ms loss+grad step — the optimizer was 58% of training — because
+    ~150 leaves x several ops each run as hundreds of tiny serialized
+    kernels.  Exactness vs the tree path: tests/test_optim.py.
+
+    Per-leaf semantics preserved: the reference's no-decay name list via a
+    flat 0/1 decay mask, frozen params (requires_grad=False equivalent) get
+    zero updates AND zero moments, and frozen gradients still count toward
+    the clip norm (the tree chain clips before partitioning too)."""
+    import jax.numpy as jnp
+    from jax.flatten_util import ravel_pytree
+
+    schedule = linear_warmup_decay(cfg.train.lr, num_train_steps, cfg.train.warmup_proportion)
+    clip_norm = float(cfg.train.clip_norm)
+    b1, b2, eps, wd = 0.9, 0.999, 1e-8, 0.01
+
+    def _flat_masks(params):
+        decay = _decay_mask(params)
+        ones = jax.tree_util.tree_map(
+            lambda m, p: jnp.full(p.shape, 1.0 if m else 0.0, jnp.float32),
+            decay, params)
+        decay_flat = ravel_pytree(ones)[0]
+        if frozen_filter is None:
+            keep_flat = None
+        else:
+            frozen = _frozen_mask_tree(params, frozen_filter)
+            keep = jax.tree_util.tree_map(
+                lambda m, p: jnp.full(p.shape, 0.0 if m else 1.0, jnp.float32),
+                frozen, params)
+            keep_flat = ravel_pytree(keep)[0]
+        return decay_flat, keep_flat
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        # mu and nu must be DISTINCT buffers: the train step donates the
+        # whole state, and aliased leaves trip "donate the same buffer
+        # twice" at execute time
+        return {"count": jnp.zeros([], jnp.int32),
+                "mu": jnp.zeros_like(flat, dtype=jnp.float32),
+                "nu": jnp.zeros_like(flat, dtype=jnp.float32)}
+
+    def update(grads, state, params=None):
+        assert params is not None, "flat_adamw needs params (weight decay)"
+        gflat, unravel = ravel_pytree(grads)
+        gflat = gflat.astype(jnp.float32)
+        pflat, _ = ravel_pytree(params)
+        decay_flat, keep_flat = _flat_masks(params)
+
+        # optax.clip_by_global_norm semantics (norm over ALL grads,
+        # frozen included — matches clip-before-partition in the tree path)
+        gnorm = jnp.sqrt(jnp.sum(gflat * gflat))
+        g = jnp.where(gnorm < clip_norm, gflat, gflat / gnorm * clip_norm)
+        if keep_flat is not None:
+            g = g * keep_flat  # frozen moments stay exactly zero
+
+        count = state["count"] + 1
+        mu = b1 * state["mu"] + (1.0 - b1) * g
+        nu = b2 * state["nu"] + (1.0 - b2) * (g * g)
+        c = count.astype(jnp.float32)
+        mu_hat = mu / (1.0 - b1 ** c)
+        nu_hat = nu / (1.0 - b2 ** c)
+        lr = schedule(count - 1)  # optax scale_by_schedule: pre-increment step
+        upd = -lr * (mu_hat / (jnp.sqrt(nu_hat) + eps)
+                     + wd * decay_flat * pflat.astype(jnp.float32))
+        if keep_flat is not None:
+            upd = upd * keep_flat
+        return unravel(upd), {"count": count, "mu": mu, "nu": nu}
+
+    return optax.GradientTransformation(init, update)
+
+
+def tree_adamw(cfg, num_train_steps: int, frozen_filter=None) -> optax.GradientTransformation:
+    """The optax per-leaf chain (reference semantics, slower on TPU — see
+    ``flat_adamw``)."""
     schedule = linear_warmup_decay(cfg.train.lr, num_train_steps, cfg.train.warmup_proportion)
     adamw = optax.adamw(
         learning_rate=schedule,
@@ -81,3 +165,20 @@ def build_optimizer(cfg, num_train_steps: int, frozen_filter=None) -> optax.Grad
 
         adamw = optax.multi_transform({"train": adamw, "frozen": optax.set_to_zero()}, labels)
     return optax.chain(optax.clip_by_global_norm(cfg.train.clip_norm), adamw)
+
+
+def build_optimizer(cfg, num_train_steps: int, frozen_filter=None) -> optax.GradientTransformation:
+    """``frozen_filter('path/to/param') -> True`` pins that param (zero
+    updates) — the equivalent of the reference's requires_grad=False teacher
+    freezing (e.g. OneTeacher_SoftLabel.py:42-44).
+
+    ``train.flat_optimizer`` (default on) selects the raveled single-buffer
+    implementation; set it false for the optax tree chain (bit-identical
+    optimizer-state layout with older checkpoints)."""
+    if hasattr(cfg.train, "get"):
+        flat = cfg.train.get("flat_optimizer", True)
+    else:  # plain-namespace cfgs (tests)
+        flat = getattr(cfg.train, "flat_optimizer", True)
+    if bool(flat):
+        return flat_adamw(cfg, num_train_steps, frozen_filter)
+    return tree_adamw(cfg, num_train_steps, frozen_filter)
