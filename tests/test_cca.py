@@ -68,3 +68,31 @@ def test_cca_trains_with_batchnorm_state(cca_cfg):
     ious1, _, _ = trainer.run_eval_epoch(state, test_b.epoch(seed=0))
     ious2, _, _ = trainer.run_eval_epoch(state, test_b.epoch(seed=0))
     np.testing.assert_allclose(ious1, ious2, atol=1e-6)
+
+
+def test_scores_contraction_matches_normalize_then_sum():
+    """models/cca.py::scores computes sum_h F.normalize(q*m) as two
+    H-contractions (the (B,L,L,H) product never materializes); pin it
+    against the reference's naive normalize-then-sum (CCA.py:366-374),
+    including exactly-zero cells where the eps clamp engages."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    B, L, H = 3, 8, 12
+    q = rng.standard_normal((B, H)).astype(np.float32)
+    m = rng.standard_normal((B, L, L, H)).astype(np.float32)
+    m[0, 2, 3] = 0.0  # invalid map cell: prod == 0, clamp path
+    m[1] *= 1e-6      # tiny-norm cells near the clamp boundary
+
+    def naive(q, m):
+        prod = q[:, None, None, :] * m
+        sq = np.sum(prod * prod, axis=-1, keepdims=True)
+        unit = prod / np.sqrt(np.maximum(sq, 1e-24))
+        return np.sum(unit, axis=-1)
+
+    eps = 1e-12
+    num = jnp.einsum("bh,bijh->bij", q, m)
+    den = jnp.sqrt(jnp.maximum(
+        jnp.einsum("bh,bijh->bij", jnp.square(q), jnp.square(m)), eps * eps))
+    got = np.asarray(num / den)
+    np.testing.assert_allclose(got, naive(q, m), atol=1e-5, rtol=1e-5)

@@ -43,3 +43,55 @@ def test_cpl_trains_weakly_supervised(charades_cfg):
     ious, _, _, props = trainer.run_eval_epoch(state, test_b.epoch(seed=0), collect_props=True)
     assert np.all(props[:, 0] <= props[:, 1] + 1e-6)
     assert np.all(props >= 0) and np.all(props <= 1)
+
+
+def test_shared_prefix_matches_repeated_path(charades_cfg):
+    """others.cpl_shared_prefix computes each decoder's first-layer q/k/v +
+    logits + softmax once per clip instead of once per proposal; in
+    deterministic mode the outputs must EQUAL the repeated-input path
+    (same params — the flag changes call shapes only)."""
+    from vmrframe_tpu.registry import get_model_entry
+
+    base = charades_cfg.updated({
+        "model.name": "CPL",
+        "others": {"cpl_num_props": 4, "cpl_div_lambda": 0.15,
+                   "cpl_div_loss_alhpa": 1.0},
+    })
+    cfg_shared = base.updated({"others.cpl_shared_prefix": True})
+    cfg_rep = base.updated({"others.cpl_shared_prefix": False})
+    dataset, store = make_synthetic_data(base, seed=0, n_train=8, n_test=4)
+    derived = Derived(num_words=dataset["n_words"], num_chars=dataset["n_chars"],
+                      num_train_steps=2, steps_per_epoch=2)
+    batch = next(Batcher(dataset["train_set"], store, base, derived, "train").epoch(seed=0))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()
+             if hasattr(v, "dtype") or isinstance(v, (list, tuple))}
+
+    entry = get_model_entry("CPL")
+    rng = jax.random.PRNGKey(0)
+    m_shared = entry.model_cls(cfg_shared, derived, dataset["word_vector"])
+    m_rep = entry.model_cls(cfg_rep, derived, dataset["word_vector"])
+    variables = m_rep.init({"params": rng, "dropout": rng, "gumbel": rng}, batch, True)
+
+    out_rep = m_rep.apply(variables, batch, True)
+    out_shared = m_shared.apply(variables, batch, True)
+    assert set(out_rep) == set(out_shared)
+    for k in out_rep:
+        np.testing.assert_allclose(np.asarray(out_shared[k]), np.asarray(out_rep[k]),
+                                   atol=2e-4,
+                                   err_msg=f"output {k} diverged")
+
+    # train mode: same param tree, finite loss, grads flow through the
+    # shared path (dropout masks differ by construction — per-(b,p)
+    # independence is preserved, not bitwise identity)
+    consts = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss_fn(params, model):
+        out = model.apply({"params": params, **consts}, batch, False,
+                          rngs={"dropout": jax.random.PRNGKey(1),
+                                "gumbel": jax.random.PRNGKey(2)})
+        return entry.loss_fn(out, batch, cfg_shared)
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"], m_shared)
+    assert np.isfinite(float(loss))
+    gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(grads))
+    assert gnorm > 0

@@ -31,11 +31,22 @@ class GaussMultiheadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query, key, value, key_padding_mask=None, attn_mask=None,
-                 gauss_weight=None, deterministic: bool = True):
+                 gauss_weight=None, deterministic: bool = True, n_props: int = 1):
+        """``n_props=P > 1`` is the shared-prefix path: query/key/value and
+        the masks arrive UNREPEATED at batch B while ``gauss_weight`` (if
+        any) has B*P rows; the output has B*P rows.  The P proposal copies
+        of one clip share q/k/v, the attention logits and the softmax — the
+        reference repeats the inputs P times and recomputes all of it
+        (models/model.py:150-166).  Exactness: the Gaussian weights only the
+        KEYS, so (softmax(qk) * g_p) / rowsum @ v == (s @ (g_p*v)) / (s @ g_p)
+        — in deterministic mode the per-proposal prob tensor never
+        materializes; with dropout the probs are formed per-proposal AFTER
+        the shared softmax so masks stay independent per (b, p) row."""
         B, Tq, E = query.shape
         Tk = key.shape[1]
         H = self.num_heads
         hd = E // H
+        P = int(n_props)
 
         in_proj_w = self.param("in_proj_weight", nn.initializers.xavier_uniform(), (3 * E, E))
         in_proj_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * E,))
@@ -54,6 +65,34 @@ class GaussMultiheadAttention(nn.Module):
         if key_padding_mask is not None:  # (B, Tk), 1 = PAD
             w = jnp.where(key_padding_mask[:, None, None, :] == 1, -1e30, w)
         w = jax.nn.softmax(w, axis=-1)
+
+        out_w = self.param("out_proj_kernel", nn.initializers.xavier_uniform(), (E, E))
+        out_b = self.param("out_proj_bias", nn.initializers.zeros, (E,))
+
+        if P > 1:
+            if gauss_weight is not None:
+                gw = gauss_weight.reshape(B, P, Tk) + 1e-10
+                if deterministic:
+                    num = jnp.einsum("bhqk,bpk,bhkd->bphqd", w, gw, v)
+                    den = jnp.einsum("bhqk,bpk->bphq", w, gw)
+                    out = num / den[..., None]
+                else:
+                    wp = w[:, None] * gw[:, :, None, None, :]  # (B,P,H,Tq,Tk)
+                    wp = wp / jnp.sum(wp, axis=-1, keepdims=True)
+                    wp = nn.Dropout(self.dropout)(wp, deterministic=False)
+                    out = jnp.einsum("bphqk,bhkd->bphqd", wp, v)
+            else:
+                if deterministic:  # identical across P: project at B, tile once
+                    o = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+                    o = o.transpose(0, 2, 1, 3).reshape(B, Tq, E) @ out_w + out_b
+                    return jnp.repeat(o, P, axis=0), jnp.mean(w, axis=1)
+                wp = jnp.broadcast_to(w[:, None], (B, P, H, Tq, Tk))
+                wp = nn.Dropout(self.dropout)(wp, deterministic=False)
+                out = jnp.einsum("bphqk,bhkd->bphqd", wp, v)
+            out = out.transpose(0, 1, 3, 2, 4).reshape(B * P, Tq, E)
+            out = out @ out_w + out_b
+            return out, jnp.mean(w, axis=1)
+
         if gauss_weight is not None:  # (B, Tk)
             gw = gauss_weight[:, None, None, :]
             w = w * (gw + 1e-10)
@@ -61,8 +100,6 @@ class GaussMultiheadAttention(nn.Module):
         w = nn.Dropout(self.dropout)(w, deterministic=deterministic)
         out = jnp.einsum("bhqk,bhkd->bhqd", w, v).transpose(0, 2, 1, 3).reshape(B, Tq, E)
 
-        out_w = self.param("out_proj_kernel", nn.initializers.xavier_uniform(), (E, E))
-        out_b = self.param("out_proj_bias", nn.initializers.zeros, (E,))
         out = out @ out_w + out_b
         return out, jnp.mean(w, axis=1)
 
@@ -81,13 +118,16 @@ class TransformerDecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, pad_mask, encoder_out=None, encoder_pad_mask=None,
                  self_attn_mask=None, src_gauss_weight=None, tgt_gauss_weight=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, n_props: int = 1):
         D = self.d_model
         drop = lambda t: nn.Dropout(self.dropout)(t, deterministic=deterministic)
 
         res = x
         x, weight = GaussMultiheadAttention(D, self.num_heads, self.dropout, name="self_attn")(
-            x, x, x, pad_mask, self_attn_mask, tgt_gauss_weight, deterministic)
+            x, x, x, pad_mask, self_attn_mask, tgt_gauss_weight, deterministic,
+            n_props=n_props)
+        if n_props > 1:  # shared-prefix layer: x entered at B, continue at B*P
+            res = jnp.repeat(res, n_props, axis=0)
         x = _ln(res + drop(x),
                 self.param("self_ln_scale", nn.initializers.ones, (D,)),
                 self.param("self_ln_bias", nn.initializers.zeros, (D,)))
@@ -127,7 +167,14 @@ class TransformerDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, src, src_mask, tgt, tgt_mask, src_gauss_weight=None,
-                 tgt_gauss_weight=None, deterministic: bool = True):
+                 tgt_gauss_weight=None, deterministic: bool = True,
+                 n_props: int = 1):
+        """``n_props=P > 1``: ``tgt``/``tgt_mask`` arrive UNREPEATED at batch
+        B while ``src``/``src_mask``/gauss weights (if any) have B*P rows.
+        Layer 0 runs the shared-prefix attention (q/k/v, logits and softmax
+        computed once per clip instead of once per proposal) and expands to
+        B*P; later layers are unchanged.  Output matches the repeated-input
+        path exactly in deterministic mode (tests/test_cpl.py)."""
         T = tgt.shape[1]
         attn_mask = None
         if self.future_mask:
@@ -140,5 +187,7 @@ class TransformerDecoder(nn.Module):
             x, weight = TransformerDecoderLayer(
                 self.d_model, self.num_heads, self.dropout, name=f"layer_{i}"
             )(x, pad_tgt, src, pad_src, attn_mask, src_gauss_weight, tgt_gauss_weight,
-              deterministic)
+              deterministic, n_props=n_props if i == 0 else 1)
+            if i == 0 and n_props > 1 and pad_tgt is not None:
+                pad_tgt = jnp.repeat(pad_tgt, n_props, axis=0)
         return x, weight

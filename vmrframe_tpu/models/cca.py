@@ -297,8 +297,16 @@ class CCA(nn.Module):
         v_t = self.param("v_t_param", nn.initializers.constant(0.5), (1,))
 
         def scores(q, m):
-            prod = q[:, None, None, :] * m  # (B, L, L, H)
-            return jnp.sum(l2norm(prod), axis=-1)
+            # sum_h l2norm(q*m) == (sum_h q*m) / sqrt(max(sum_h q^2*m^2, eps^2))
+            # — the reference's normalize-then-sum (models/CCA.py:366-374)
+            # reduced to two H-contractions, so the (B, L, L, H) product and
+            # its l2norm chain (and their backward) never materialize.
+            eps = 1e-12
+            num = jnp.einsum("bh,bijh->bij", q, m)
+            den = jnp.sqrt(jnp.maximum(
+                jnp.einsum("bh,bijh->bij", jnp.square(q), jnp.square(m)),
+                eps * eps))
+            return num / den
 
         v2t = scores(queries, map2d_fused)
         t2v = scores(queries_fused, map2d)

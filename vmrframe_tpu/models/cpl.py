@@ -86,20 +86,34 @@ class CPL(nn.Module):
         gauss = jax.nn.sigmoid(weakly @ fg_kernel + fg_bias).reshape(B * P, 2)
         center, width = gauss[:, 0], gauss[:, 1]
 
-        vfeat_props = jnp.repeat(vfeat, P, axis=0)
         vmask_props = jnp.repeat(vmask, P, axis=0)
         gauss_weight = generate_gauss_weight(L, center, width, vmask_props)
         pos_weight = gauss_weight / jnp.max(gauss_weight, axis=-1, keepdims=True)
 
-        tmask_props = jnp.repeat(tmask_long[:, :-1], P, axis=0)
-        tfeat_props = jnp.repeat(tfeat_long[:, :-1], P, axis=0)
-
-        enc_out, _ = TransformerDecoder(2, dim, 4, 0.1, name="decoder1")(
-            None, None, vfeat_props, vmask_props, tgt_gauss_weight=pos_weight,
-            deterministic=deterministic)
-        out, _ = TransformerDecoder(2, dim, 4, 0.1, name="decoder2")(
-            enc_out, vmask_props, tfeat_props, tmask_props, src_gauss_weight=pos_weight,
-            deterministic=deterministic)
+        # shared-prefix (default on): the P proposal rows of one clip are
+        # IDENTICAL until the per-proposal Gaussian reweights the attention,
+        # so each decoder's first layer computes q/k/v + logits + softmax
+        # once per clip, not once per proposal (exact — see cpl_decoder.py;
+        # the reference repeats the inputs 8x, models/model.py:150-166)
+        shared = bool(self.cfg.others.get("cpl_shared_prefix", True)) \
+            if "others" in self.cfg else True
+        if shared:
+            enc_out, _ = TransformerDecoder(2, dim, 4, 0.1, name="decoder1")(
+                None, None, vfeat, vmask, tgt_gauss_weight=pos_weight,
+                deterministic=deterministic, n_props=P)
+            out, _ = TransformerDecoder(2, dim, 4, 0.1, name="decoder2")(
+                enc_out, vmask_props, tfeat_long[:, :-1], tmask_long[:, :-1],
+                src_gauss_weight=pos_weight, deterministic=deterministic, n_props=P)
+        else:
+            vfeat_props = jnp.repeat(vfeat, P, axis=0)
+            tmask_props = jnp.repeat(tmask_long[:, :-1], P, axis=0)
+            tfeat_props = jnp.repeat(tfeat_long[:, :-1], P, axis=0)
+            enc_out, _ = TransformerDecoder(2, dim, 4, 0.1, name="decoder1")(
+                None, None, vfeat_props, vmask_props, tgt_gauss_weight=pos_weight,
+                deterministic=deterministic)
+            out, _ = TransformerDecoder(2, dim, 4, 0.1, name="decoder2")(
+                enc_out, vmask_props, tfeat_props, tmask_props,
+                src_gauss_weight=pos_weight, deterministic=deterministic)
         fc_kernel = self.param("fc_comp_kernel", torch_linear_init, (dim, self.derived.num_words))
         fc_bias = self.param("fc_comp_bias", nn.initializers.zeros, (self.derived.num_words,))
         words_logit = out @ fc_kernel + fc_bias  # (B*P, T, V)
