@@ -198,7 +198,19 @@ def test_compact_map_exactly_matches_dense(charades_ban_cfg=None):
                               derived, dataset["word_vector"])
     out_d = m_dense.apply(variables, batch, True)
 
-    for key in ("tmap", "map2d_proj", "final_pred", "offset", "pred_score",
-                "coarse_pred"):
+    for key in ("tmap", "final_pred", "offset", "pred_score", "coarse_pred"):
         np.testing.assert_allclose(np.asarray(out_c[key]), np.asarray(out_d[key]),
                                    atol=2e-5, rtol=2e-5, err_msg=key)
+
+    # the compact path exports the contrast projection as cells + the
+    # encoder(0) sentinel; scattering them reproduces the dense map exactly
+    from vmrframe_tpu.models.ban import _mask_meta
+
+    L = np.asarray(out_c["tmap"]).shape[-1]
+    _, _, ii, jj = _mask_meta(list(cfg.model.pooling_counts), L)
+    dense_view = np.broadcast_to(
+        np.asarray(out_c["map2d_proj_inv"])[:, None, None, :],
+        np.asarray(out_d["map2d_proj"]).shape).copy()
+    dense_view[:, ii, jj] = np.asarray(out_c["map2d_proj_cells"])
+    np.testing.assert_allclose(dense_view, np.asarray(out_d["map2d_proj"]),
+                               atol=2e-5, rtol=2e-5, err_msg="map2d_proj")

@@ -354,15 +354,17 @@ class BAN(nn.Module):
             tmap = tmap.at[:, iis, jjs].set(tmap_cells)
 
             # + a zero-input sentinel: the dense path's invalid cells carry
-            # encoder(0) (bias-path constants), observable in raw outputs
+            # encoder(0) (bias-path constants), observable in raw outputs.
+            # The dense (B, L, L, C) map is NOT materialized: ban_loss
+            # consumes the cells directly (the contrastive masks live inside
+            # mask2d, so invalid cells never contribute), and the sentinel is
+            # exported for consumers that scatter a dense view.
             projc_all = Linear(contrast_dim, name="contrast_encoder_out")(
                 jax.nn.relu(Linear(contrast_dim, name="contrast_encoder_hidden")(
                     jnp.concatenate([mapc_cells,
                                      jnp.zeros((B_, 1, fuse), mapc_cells.dtype)], axis=1))))
             projc, proj_inv = projc_all[:, :K], projc_all[:, K]
-            map2d_proj = jnp.broadcast_to(proj_inv[:, None, None, :],
-                                          (B_, L, L, contrast_dim))
-            map2d_proj = map2d_proj.at[:, iis, jjs].set(projc)
+            map2d_proj = None
         else:
             # content stream: segment-max map (only valid cells are nonzero)
             map2d_c = segment_max_map(fuse_feature, list(offsets))
@@ -386,8 +388,11 @@ class BAN(nn.Module):
         cells_i = jnp.asarray(ii)
         cells_j = jnp.asarray(jj)
         moments = jnp.stack([cells_i, cells_j + 1], axis=1).astype(jnp.float32)  # grids[:,1]+=1
-        score_pred = jax.lax.stop_gradient(jax.nn.sigmoid(tmap))  # masked below
-        cell_scores = score_pred[:, cells_i, cells_j]  # (B, K)
+        if compact:  # tmap[:, ii, jj] == tmap_cells by construction
+            cell_scores = jax.lax.stop_gradient(jax.nn.sigmoid(tmap_cells))
+        else:
+            score_pred = jax.lax.stop_gradient(jax.nn.sigmoid(tmap))  # masked below
+            cell_scores = score_pred[:, cells_i, cells_j]  # (B, K)
 
         sel_idx = jax.vmap(
             lambda s: proposal_selection(s, moments, topk=m.topk, neighbor=m.neighbor,
@@ -399,13 +404,14 @@ class BAN(nn.Module):
         bidx = jnp.arange(tmap.shape[0])[:, None]
         if compact:
             prop_feature = jnp.take_along_axis(map_cells[:, :-1], sel_idx[..., None], axis=1)
+            pred_score = jnp.take_along_axis(tmap_cells, sel_idx, axis=1)
         else:
             prop_feature = map2d[bidx, prop_i, prop_j]  # (B, P, F)
+            pred_score = tmap[bidx, prop_i, prop_j]
         if "start_end_offset" in batch:
             offset_gt = batch["start_end_offset"][bidx, prop_i, prop_j]  # (B, P, 2)
         else:
             offset_gt = jnp.zeros(prop_i.shape + (2,), jnp.float32)
-        pred_score = tmap[bidx, prop_i, prop_j]
         pred_s_e = jnp.stack([prop_i, prop_j + 1], axis=-1)  # grid spans (s, e)
 
         # proposal positional encoding (BANlib/model.py:467-498)
@@ -424,10 +430,9 @@ class BAN(nn.Module):
         offset = Linear(2, name="predictor_offset_out")(
             MLPBlock(fuse, 0.1, name="predictor_offset_hidden")(prop_feature, deterministic))
 
-        return {
+        out = {
             "tmap": tmap,
             "map2d_mask": mask2d,
-            "map2d_proj": map2d_proj,
             "sen_proj": sen_proj,
             "coarse_pred": pred_s_e,
             "final_pred": pred,
@@ -437,6 +442,16 @@ class BAN(nn.Module):
             "td": td,
             "vlens": vlens,
         }
+        if compact:
+            # cells in mask2d's row-major np.nonzero order; ban_loss consumes
+            # these directly (exactly the dense-path loss — the contrastive
+            # and BCE masks all live inside mask2d)
+            out["tmap_cells"] = tmap_cells
+            out["map2d_proj_cells"] = projc
+            out["map2d_proj_inv"] = proj_inv  # encoder(0) sentinel (dense view)
+        else:
+            out["map2d_proj"] = map2d_proj
+        return out
 
 
 def _sinusoid_pe(max_len: int, dim: int) -> np.ndarray:
@@ -457,17 +472,34 @@ def _smooth_l1(x, y):
 
 
 def ban_loss(outputs, batch, cfg):
-    """5-term BAN objective (train_engine_BAN, models/BAN.py:211-271)."""
+    """5-term BAN objective (train_engine_BAN, models/BAN.py:211-271).
+
+    With the compact map (default) the BCE and contrastive terms consume the
+    valid-cell lists the model already computed — every mask in those terms
+    lives inside mask2d, so summing over the K cells equals summing over the
+    dense (L, L) map exactly (tests/test_ban.py train-mode equivalence)."""
     lw = cfg.loss
     sample_mask = batch["sample_mask"]
     mask2d = outputs["map2d_mask"]  # (L, L) bool
     iou_scaled = jnp.clip((batch["iou2ds"] - lw.min_iou) / (lw.max_iou - lw.min_iou), 0, 1)
+    tmap = outputs["tmap"]
+    compact_cells = "tmap_cells" in outputs
+    if compact_cells:
+        L = tmap.shape[-1]
+        _, _, ii, jj = _mask_meta(list(cfg.model.pooling_counts), L)
+        iis, jjs = jnp.asarray(ii), jnp.asarray(jj)
 
     # 1. coarse map BCE over valid cells
-    tmap = outputs["tmap"]
-    per_cell = iou_scaled * jax.nn.softplus(-tmap) + (1 - iou_scaled) * jax.nn.softplus(tmap)
-    w2d = mask2d[None].astype(tmap.dtype) * sample_mask[:, None, None]
-    loss_bce = jnp.sum(per_cell * w2d) / jnp.maximum(jnp.sum(w2d), 1.0)
+    if compact_cells:
+        tc = outputs["tmap_cells"]  # (B, K)
+        iou_c = iou_scaled[:, iis, jjs]
+        per_cell = iou_c * jax.nn.softplus(-tc) + (1 - iou_c) * jax.nn.softplus(tc)
+        wc2 = jnp.broadcast_to(sample_mask[:, None], per_cell.shape).astype(tc.dtype)
+        loss_bce = jnp.sum(per_cell * wc2) / jnp.maximum(jnp.sum(wc2), 1.0)
+    else:
+        per_cell = iou_scaled * jax.nn.softplus(-tmap) + (1 - iou_scaled) * jax.nn.softplus(tmap)
+        w2d = mask2d[None].astype(tmap.dtype) * sample_mask[:, None, None]
+        loss_bce = jnp.sum(per_cell * w2d) / jnp.maximum(jnp.sum(w2d), 1.0)
 
     # 2. refine BCE on sampled proposals vs their scaled IoU
     pred_s_e = outputs["coarse_pred"]
@@ -492,19 +524,32 @@ def ban_loss(outputs, batch, cfg):
     loss_offset = jnp.sum(per * wp) / jnp.maximum(jnp.sum(wp), 1.0)
 
     # 5. contrastive InfoNCE over pos/neg cells (BANlib/model.py:639-669)
-    pos_m = batch["map2d_contrasts"][:, 0].astype(bool) & mask2d[None]
-    neg_m = batch["map2d_contrasts"][:, 1].astype(bool) & mask2d[None]
     def _safe_norm(x, eps=1e-8):
         sq = jnp.sum(x * x, axis=-1, keepdims=True)
         return x / jnp.sqrt(jnp.maximum(sq, eps * eps))
 
-    cells_n = _safe_norm(outputs["map2d_proj"])  # (B, L, L, C)
     sen_n = _safe_norm(outputs["sen_proj"])
-    sim = jnp.einsum("bijc,bc->bij", cells_n, sen_n)
     tao = 1.0
-    pos_exp = jnp.sum(jnp.where(pos_m, jnp.exp(sim / tao), 0.0), axis=(1, 2))
-    all_exp = pos_exp + jnp.sum(jnp.where(neg_m, jnp.exp(sim / tao), 0.0), axis=(1, 2))
-    has_both = (jnp.sum(pos_m, (1, 2)) > 0) & (jnp.sum(neg_m, (1, 2)) > 0)
+    if compact_cells:
+        # cosine(cells, sen) as two C-contractions — the normalized
+        # (B, K, C) tensor never materializes: safe_norm(x)·u ==
+        # (x·u)/sqrt(max(Σx², eps²))
+        projc = outputs["map2d_proj_cells"]  # (B, K, C)
+        num = jnp.einsum("bkc,bc->bk", projc, sen_n)
+        den = jnp.sqrt(jnp.maximum(jnp.sum(projc * projc, axis=-1), 1e-16))
+        sim = num / den
+        pos_m = batch["map2d_contrasts"][:, 0][:, iis, jjs].astype(bool)
+        neg_m = batch["map2d_contrasts"][:, 1][:, iis, jjs].astype(bool)
+        red_axes = (1,)
+    else:
+        cells_n = _safe_norm(outputs["map2d_proj"])  # (B, L, L, C)
+        sim = jnp.einsum("bijc,bc->bij", cells_n, sen_n)
+        pos_m = batch["map2d_contrasts"][:, 0].astype(bool) & mask2d[None]
+        neg_m = batch["map2d_contrasts"][:, 1].astype(bool) & mask2d[None]
+        red_axes = (1, 2)
+    pos_exp = jnp.sum(jnp.where(pos_m, jnp.exp(sim / tao), 0.0), axis=red_axes)
+    all_exp = pos_exp + jnp.sum(jnp.where(neg_m, jnp.exp(sim / tao), 0.0), axis=red_axes)
+    has_both = (jnp.sum(pos_m, red_axes) > 0) & (jnp.sum(neg_m, red_axes) > 0)
     per_c = -jnp.log(pos_exp / (all_exp + 1e-8) + 1e-30)
     wc = has_both.astype(per_c.dtype) * sample_mask
     loss_contrast = jnp.sum(per_c * wc) / jnp.maximum(jnp.sum(wc), 1.0)
