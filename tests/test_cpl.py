@@ -57,7 +57,7 @@ def test_shared_prefix_matches_repeated_path(charades_cfg):
         "others": {"cpl_num_props": 4, "cpl_div_lambda": 0.15,
                    "cpl_div_loss_alhpa": 1.0},
     })
-    cfg_shared = base.updated({"others.cpl_shared_prefix": True})
+    cfg_shared = base.updated({"others.cpl_shared_prefix": "always"})
     cfg_rep = base.updated({"others.cpl_shared_prefix": False})
     dataset, store = make_synthetic_data(base, seed=0, n_train=8, n_test=4)
     derived = Derived(num_words=dataset["n_words"], num_chars=dataset["n_chars"],
@@ -80,9 +80,10 @@ def test_shared_prefix_matches_repeated_path(charades_cfg):
                                    atol=2e-4,
                                    err_msg=f"output {k} diverged")
 
-    # train mode: same param tree, finite loss, grads flow through the
-    # shared path (dropout masks differ by construction — per-(b,p)
-    # independence is preserved, not bitwise identity)
+    # train mode ("always" opts the shared path into training too): same
+    # param tree, finite loss, grads flow through the shared path (dropout
+    # masks differ by construction — per-(b,p) independence is preserved,
+    # not bitwise identity)
     consts = {k: v for k, v in variables.items() if k != "params"}
 
     def loss_fn(params, model):

@@ -90,13 +90,20 @@ class CPL(nn.Module):
         gauss_weight = generate_gauss_weight(L, center, width, vmask_props)
         pos_weight = gauss_weight / jnp.max(gauss_weight, axis=-1, keepdims=True)
 
-        # shared-prefix (default on): the P proposal rows of one clip are
-        # IDENTICAL until the per-proposal Gaussian reweights the attention,
-        # so each decoder's first layer computes q/k/v + logits + softmax
-        # once per clip, not once per proposal (exact — see cpl_decoder.py;
-        # the reference repeats the inputs 8x, models/model.py:150-166)
-        shared = bool(self.cfg.others.get("cpl_shared_prefix", True)) \
+        # shared-prefix: the P proposal rows of one clip are IDENTICAL until
+        # the per-proposal Gaussian reweights the attention, so each
+        # decoder's first layer computes q/k/v + logits + softmax once per
+        # clip, not once per proposal (exact — see cpl_decoder.py; the
+        # reference repeats the inputs 8x, models/model.py:150-166).
+        # Default: shared in deterministic (eval/serving) mode, where the
+        # commuted form also skips the per-proposal prob tensor (measured
+        # 1.25x CPU eval); train mode keeps the repeated path unless
+        # cpl_shared_prefix == "always" (train-mode dropout needs the probs
+        # materialized per proposal anyway, so the saving there is smaller
+        # and measured slightly negative on CPU).
+        sp = self.cfg.others.get("cpl_shared_prefix", True) \
             if "others" in self.cfg else True
+        shared = (bool(sp) and deterministic) or sp == "always"
         if shared:
             enc_out, _ = TransformerDecoder(2, dim, 4, 0.1, name="decoder1")(
                 None, None, vfeat, vmask, tgt_gauss_weight=pos_weight,
