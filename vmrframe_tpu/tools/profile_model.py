@@ -177,6 +177,9 @@ def profile(model_name: str, n_small: int, n_big: int, batch_size: int | None = 
             row["gflop"] = round(float(ca.get("flops", 0.0)) / nb / 1e9, 3)
             row["hbm_gb_s"] = round(
                 float(ca.get("bytes accessed", 0.0)) / nb / sec / 1e9, 1)
+            # v5e bf16 peak (f32 emulated on the same MXU — conservative)
+            row["mfu_pct"] = round(
+                100.0 * float(ca.get("flops", 0.0)) / nb / sec / 394e12, 2)
             hlo = compiled.as_text()
             body = find_steady_body(hlo)
             row["steady_kernels"] = body.count("\n") if body else None
