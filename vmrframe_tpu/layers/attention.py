@@ -184,17 +184,37 @@ class DualMultiAttention(nn.Module):
             s_val_h = jnp.einsum("bhlm,bhmd->bhld", s_probs, f_value)
             x_val_h = jnp.einsum("bhlm,bhmd->bhld", x_probs, t_value)
 
-        s_value = Conv1D(self.dim, name="s_dense")(_merge_heads(s_val_h))
-        x_value = Conv1D(self.dim, name="x_dense")(_merge_heads(x_val_h))
+        s_val_m = _merge_heads(s_val_h)
+        x_val_m = _merge_heads(x_val_h)
 
-        s_score = Conv1D(self.dim, name="s_gate")(s_value)
-        x_score = Conv1D(self.dim, name="x_gate")(x_value)
+        sd_kb = ProjParams(self.dim, name="s_dense")(self.dim)
+        xd_kb = ProjParams(self.dim, name="x_dense")(self.dim)
+        sg_kb = ProjParams(self.dim, name="s_gate")(self.dim)
+        xg_kb = ProjParams(self.dim, name="x_gate")(self.dim)
+
+        # The reference applies s_gate directly to s_dense's output with
+        # nothing in between (models/layers.py:359-366), so the chain
+        # collapses algebraically: gate(dense(h)) = h @ (Wd Wg) + (bd Wg + bg).
+        # One wide matmul per branch yields (value, score) together — the
+        # composite kernels are loop-invariant and hoist out of serving loops.
+        s_value, s_score = fused_proj(
+            s_val_m, [sd_kb, (sd_kb[0] @ sg_kb[0], sd_kb[1] @ sg_kb[0] + sg_kb[1])])
+        x_value, x_score = fused_proj(
+            x_val_m, [xd_kb, (xd_kb[0] @ xg_kb[0], xd_kb[1] @ xg_kb[0] + xg_kb[1])])
 
         outputs = s_score * x_value + x_score * s_value
         outputs = Conv1D(self.dim, name="guided_dense")(outputs)
 
-        scores = BiLinear(self.dim, name="bilinear_1")(from_tensor, outputs)
-        values = BiLinear(self.dim, name="bilinear_2")(from_tensor, outputs)
+        # BiLinear applies ONE shared dense to both inputs (the reference
+        # quirk, models/layers.py:257-259), so bilinear(x1, x2) =
+        # W(x1+x2) + 2b + bias_value — half the matmul work; and both
+        # bilinears read the same (from_tensor + outputs) sum, so the pair is
+        # one wide matmul.  Param tree identical to the BiLinear modules.
+        b1_k, b1_b, b1_x = _BiLinearParams(self.dim, name="bilinear_1")(self.dim)
+        b2_k, b2_b, b2_x = _BiLinearParams(self.dim, name="bilinear_2")(self.dim)
+        u = from_tensor + outputs
+        scores, values = fused_proj(
+            u, [(b1_k, 2.0 * b1_b + b1_x), (b2_k, 2.0 * b2_b + b2_x)])
         return jax.nn.sigmoid(mask_logits(scores, from_mask[:, :, None])) * values
 
 
