@@ -91,8 +91,12 @@ def main(batch_size=128, chunk=256, serialized=False):
                 # them.  --serialized restores the strict chain (each
                 # batch's bytes depend on the previous result) for
                 # latency-style measurement.
-                b["vfeats"] = jnp.roll(batch["vfeats"], i, axis=1) + (
-                    acc * 1e-9 if serialized else 0.0)
+                v = batch["vfeats"]
+                # NB: the serialized perturbation must be cast to vfeats'
+                # dtype — acc is f32 and bf16 + f32 would promote the whole
+                # forward to f32.
+                b["vfeats"] = jnp.roll(v, i, axis=1) + (
+                    (acc * 1e-9).astype(v.dtype) if serialized else 0.0)
                 # beyond the measured fusion knee (B>256) run the compact
                 # per-chunk schedule (ops/chunked.py has the measurements)
                 props = (chunked_batch_apply(fwd_infer, b, batch_size, chunk)

@@ -341,7 +341,11 @@ def main():
 
         def fwd_infer(i, acc, variables, batch):
             b = dict(batch)
-            b["vfeats"] = jnp.roll(batch["vfeats"], i, axis=1) + acc * 1e-9
+            # keep the perturbation in vfeats' own dtype: acc is f32, and
+            # bf16 + f32 silently promotes the WHOLE forward to f32 (the
+            # round-3 541-kernel census was of that accidental f32 program)
+            v = batch["vfeats"]
+            b["vfeats"] = jnp.roll(v, i, axis=1) + (acc * 1e-9).astype(v.dtype)
 
             def one_chunk(bc):
                 out = model.apply(variables, bc, True)
