@@ -59,12 +59,11 @@ def main(batch_size=128, chunk=256, serialized=False):
     rng = jax.random.PRNGKey(0)
     variables = model.init({"params": rng, "dropout": rng, "gumbel": rng}, batch, True)
 
+    from vmrframe_tpu.ops.precision import cast_floating
+
     def to_bf16(tree):
-        return jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x,
-            tree,
-        )
+        # vector-param policy: rank<=1 params stay f32 (ops/precision.py)
+        return cast_floating(tree, jnp.bfloat16)
 
     device = jax.devices()[0]
     vb = to_bf16(jax.device_put(variables, device))
@@ -82,21 +81,31 @@ def main(batch_size=128, chunk=256, serialized=False):
 
             def body(i, acc):
                 b = dict(batch)
-                # different data every iteration (the roll depends on i, so
-                # nothing is loop-invariant and the compiler can't hoist the
-                # model).  Offline eval batches are INDEPENDENT, so the
-                # default protocol does NOT feed the accumulator back into
-                # the inputs — XLA may software-pipeline consecutive
-                # iterations exactly as a real batch-eval driver overlaps
-                # them.  --serialized restores the strict chain (each
-                # batch's bytes depend on the previous result) for
-                # latency-style measurement.
+                # different data every iteration (the perturbations depend
+                # on i, so nothing is loop-invariant and the compiler can't
+                # hoist the model).  The video perturbation is an
+                # i-dependent scalar OFFSET: it fuses into the first
+                # consumer, so no copy of vfeats is materialized — a real
+                # batch-eval driver hands the model fresh HBM-resident data,
+                # it does not copy it first (the old jnp.roll paid an extra
+                # read+write of the whole buffer inside every measured
+                # step).  The tiny id tensors roll along the batch axis so
+                # the text branch can't be hoisted either.  Offline eval
+                # batches are INDEPENDENT, so the default protocol does NOT
+                # feed the accumulator back into the inputs — XLA may
+                # software-pipeline consecutive iterations exactly as a real
+                # batch-eval driver overlaps them.  --serialized restores
+                # the strict chain (each batch's bytes depend on the
+                # previous result) for latency-style measurement.
                 v = batch["vfeats"]
-                # NB: the serialized perturbation must be cast to vfeats'
-                # dtype — acc is f32 and bf16 + f32 would promote the whole
-                # forward to f32.
-                b["vfeats"] = jnp.roll(v, i, axis=1) + (
-                    (acc * 1e-9).astype(v.dtype) if serialized else 0.0)
+                # NB: perturbations must be cast to vfeats' dtype — acc is
+                # f32 and bf16 + f32 would promote the whole forward to f32.
+                delta = (i.astype(jnp.float32) * 1e-6 + (
+                    acc * 1e-9 if serialized else 0.0)).astype(v.dtype)
+                b["vfeats"] = v + delta
+                for key in ("words_ids", "chars_ids"):
+                    if key in batch:
+                        b[key] = jnp.roll(batch[key], i, axis=0)
                 # beyond the measured fusion knee (B>256) run the compact
                 # per-chunk schedule (ops/chunked.py has the measurements)
                 props = (chunked_batch_apply(fwd_infer, b, batch_size, chunk)

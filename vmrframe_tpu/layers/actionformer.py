@@ -44,7 +44,9 @@ class ChannelLayerNorm(nn.Module):
         mu = jnp.mean(x, axis=-1, keepdims=True)
         res = x - mu
         sigma = jnp.mean(res * res, axis=-1, keepdims=True)
-        return (res * jax.lax.rsqrt(sigma + self.epsilon)) * weight + bias
+        out = (res * jax.lax.rsqrt(sigma + self.epsilon)) * weight + bias
+        # vector-param policy: f32 weight/bias must not promote downstream
+        return out.astype(x.dtype) if out.dtype != x.dtype else out
 
 
 class MaskedConv1D(nn.Module):
@@ -73,6 +75,8 @@ class MaskedConv1D(nn.Module):
             use_bias=self.use_bias,
             kernel_init=torch_linear_init_conv(fan_in),
             bias_init=nn.initializers.zeros,
+            # computation follows the activation dtype (vector-param policy)
+            dtype=x.dtype,
             name="conv",
         )(x)
         if self.stride > 1:
@@ -154,7 +158,7 @@ class MaskedMHCA(nn.Module):
 
         def proj(name):
             return nn.Dense(self.n_embd, kernel_init=torch_linear_init_conv(self.n_embd),
-                            bias_init=nn.initializers.zeros, name=name)
+                            bias_init=nn.initializers.zeros, dtype=x.dtype, name=name)
 
         q = proj("query")(q)
         k = proj("key")(k)
@@ -279,11 +283,11 @@ class TransformerBlock(nn.Module):
 
         h = ChannelLayerNorm(name="ln2")(out)
         h = nn.Dense(4 * self.n_embd, kernel_init=torch_linear_init_conv(self.n_embd),
-                     bias_init=nn.initializers.zeros, name="mlp_fc1")(h)
+                     bias_init=nn.initializers.zeros, dtype=h.dtype, name="mlp_fc1")(h)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dropout(self.proj_pdrop)(h, deterministic=deterministic)
         h = nn.Dense(self.n_embd, kernel_init=torch_linear_init_conv(4 * self.n_embd),
-                     bias_init=nn.initializers.zeros, name="mlp_fc2")(h)
+                     bias_init=nn.initializers.zeros, dtype=h.dtype, name="mlp_fc2")(h)
         h = nn.Dropout(self.proj_pdrop)(h, deterministic=deterministic)
         h = h * mf
         if self.path_pdrop > 0.0:

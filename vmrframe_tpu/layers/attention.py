@@ -45,9 +45,11 @@ class ProjParams(nn.Module):
 def fused_proj(x, kbs):
     """One matmul for several (kernel, bias) pairs over the same input;
     returns the per-projection outputs."""
+    from vmrframe_tpu.ops.precision import biased
+
     ks = jnp.concatenate([k for k, _ in kbs], axis=1)
-    bs = jnp.concatenate([b for _, b in kbs], axis=0)
-    y = x @ ks + bs
+    bs = jnp.concatenate([jnp.asarray(b) for _, b in kbs], axis=0)
+    y = biased(x @ ks, bs)
     sizes = [k.shape[1] for k, _ in kbs]
     outs, off = [], 0
     for s in sizes:
@@ -57,13 +59,51 @@ def fused_proj(x, kbs):
 
 
 def _split_heads(x, num_heads):
+    """(B, L, D) -> (B, L, H, hd) — a RESHAPE only, no transpose.
+
+    Round-3 device traces (tools/trace_profile.py, docs/TRACE_EVAL_B128.json)
+    showed the old ``transpose(0, 2, 1, 3)`` to (B, H, L, hd) materializing as
+    physical layout copies XLA could not fold — 12 copies × 8-13 us ≈ 130 us
+    of the 970 us eval step at the headline config.  Head-batched 4D dots
+    can't avoid them either: the TPU dot emitter wants batch dims majormost,
+    so "blhd,bmhd->bhlm" still transposes both operands.  ``head_attention``
+    below is the layout-clean form."""
     B, L, D = x.shape
-    return x.reshape(B, L, num_heads, D // num_heads).transpose(0, 2, 1, 3)
+    return x.reshape(B, L, num_heads, D // num_heads)
 
 
 def _merge_heads(x):
-    B, H, L, Hd = x.shape
-    return x.transpose(0, 2, 1, 3).reshape(B, L, H * Hd)
+    B, L, H, Hd = x.shape
+    return x.reshape(B, L, H * Hd)
+
+
+def head_attention(q, k, v, mask_add, scale, drop, num_heads):
+    """Multi-head attention over NON-head-split (B, L, D) q / (B, M, D) k, v.
+
+    ``mask_add`` is an additive (B, L|1, M) logit mask shared by all heads;
+    ``drop`` is applied to the prob tensor.  Internally uses head-batched 4D
+    einsums on reshaped (not transposed) operands — of the three measured
+    formulations this is the fastest on the v5e at the shipped dims
+    (docs/TRACE_EVAL_B128.json):
+
+      (a) transpose to (B, H, L, hd) + bhld einsums   — 971 us eval step
+      (b) reshape-only + "blhd,bmhd->bhlm" einsums    — 945 us (this form)
+      (c) per-head lane-slice 3D dots, batch-leading  — 1222 us
+
+    (c) kills the layout copies (the TPU dot emitter transposes operands so
+    batch dims lead for (a)/(b)) but pays more in 2×num_heads separate
+    score/softmax/apply chains; (b) lets XLA keep the operand transposes
+    fused where it can.  The math is EXACTLY the reference's per-head
+    attention — same contractions, same softmax ordering.
+    """
+    s_q = _split_heads(q, num_heads)
+    s_k = _split_heads(k, num_heads)
+    s_v = _split_heads(v, num_heads)
+    s = jnp.einsum("blhd,bmhd->bhlm", s_q, s_k) * scale
+    if mask_add is not None:
+        s = s + (mask_add[:, None] if mask_add.ndim == 3 else mask_add)
+    p = drop(jax.nn.softmax(s, axis=-1))
+    return _merge_heads(jnp.einsum("bhlm,bmhd->blhd", p, s_v))
 
 
 class MultiHeadAttentionBlock(nn.Module):
@@ -79,15 +119,13 @@ class MultiHeadAttentionBlock(nn.Module):
         head_size = self.dim // self.num_heads
         output = LayerNorm(name="layer_norm1")(x)
         output = drop(output)
-        query = _split_heads(Conv1D(self.dim, name="query")(output), self.num_heads)
-        key = _split_heads(Conv1D(self.dim, name="key")(output), self.num_heads)
-        value = _split_heads(Conv1D(self.dim, name="value")(output), self.num_heads)
-        scores = jnp.einsum("bhld,bhmd->bhlm", query, key) / math.sqrt(head_size)
-        if mask is not None:
-            scores = mask_logits(scores, mask[:, None, None, :])
-        probs = jax.nn.softmax(scores, axis=-1)
-        probs = drop(probs)
-        value = _merge_heads(jnp.einsum("bhlm,bhmd->bhld", probs, value))
+        query = Conv1D(self.dim, name="query")(output)
+        key = Conv1D(self.dim, name="key")(output)
+        value = Conv1D(self.dim, name="value")(output)
+        mask_add = None if mask is None else \
+            -1e30 * (1.0 - mask[:, None, :].astype(query.dtype))
+        value = head_attention(query, key, value, mask_add,
+                               1.0 / math.sqrt(head_size), drop, self.num_heads)
         output = drop(value)
         residual = output + x
         output = LayerNorm(name="layer_norm2")(residual)
@@ -112,7 +150,9 @@ class BiLinear(nn.Module):
         output = dense_1(input1) + dense_1(input2)
         if self.use_bias:
             bias = self.param("bias_value", nn.initializers.zeros, (self.dim,))
-            output = output + bias
+            from vmrframe_tpu.ops.precision import biased
+
+            output = biased(output, bias)
         return output
 
 
@@ -155,37 +195,30 @@ class DualMultiAttention(nn.Module):
         tv_kb = ProjParams(self.dim, name="t_value")(to_tensor.shape[-1])
         q_o, fk_o, fv_o = fused_proj(from_tensor, [q_kb, fk_kb, fv_kb])
         tk_o, tv_o = fused_proj(to_tensor, [tk_kb, tv_kb])
-        query = _split_heads(q_o, self.num_heads)
-        f_key = _split_heads(fk_o, self.num_heads)
-        f_value = _split_heads(fv_o, self.num_heads)
-        t_key = _split_heads(tk_o, self.num_heads)
-        t_value = _split_heads(tv_o, self.num_heads)
 
-        s_attn_mask = attention_mask_2d(from_mask, from_mask)[:, None]
-        x_attn_mask = attention_mask_2d(from_mask, to_mask)[:, None]
+        s_attn_mask = attention_mask_2d(from_mask, from_mask)
+        x_attn_mask = attention_mask_2d(from_mask, to_mask)
 
         from vmrframe_tpu.kernels.attention import fused_dual_attention, pallas_supported
 
         no_dropout = deterministic or self.droprate == 0.0
         if self.use_pallas and no_dropout and pallas_supported():
+            # the parked Pallas kernel consumes (B, H, L, hd) tiles
+            def hsplit(x):
+                return _split_heads(x, self.num_heads).transpose(0, 2, 1, 3)
+
             s_val_h, x_val_h = fused_dual_attention(
-                query, f_key, f_value, t_key, t_value,
-                s_attn_mask[:, 0], x_attn_mask[:, 0],
+                hsplit(q_o), hsplit(fk_o), hsplit(fv_o), hsplit(tk_o),
+                hsplit(tv_o), s_attn_mask, x_attn_mask,
             )
+            s_val_m = _merge_heads(s_val_h.transpose(0, 2, 1, 3))
+            x_val_m = _merge_heads(x_val_h.transpose(0, 2, 1, 3))
         else:
-            s_scores = jnp.einsum("bhld,bhmd->bhlm", query, f_key) / math.sqrt(head_size)
-            s_scores = s_scores + (1.0 - s_attn_mask) * -1e30
-            s_probs = drop(jax.nn.softmax(s_scores, axis=-1))
-
-            x_scores = jnp.einsum("bhld,bhmd->bhlm", query, t_key) / math.sqrt(head_size)
-            x_scores = x_scores + (1.0 - x_attn_mask) * -1e30
-            x_probs = drop(jax.nn.softmax(x_scores, axis=-1))
-
-            s_val_h = jnp.einsum("bhlm,bhmd->bhld", s_probs, f_value)
-            x_val_h = jnp.einsum("bhlm,bhmd->bhld", x_probs, t_value)
-
-        s_val_m = _merge_heads(s_val_h)
-        x_val_m = _merge_heads(x_val_h)
+            scale = 1.0 / math.sqrt(head_size)
+            s_val_m = head_attention(q_o, fk_o, fv_o, (1.0 - s_attn_mask) * -1e30,
+                                     scale, drop, self.num_heads)
+            x_val_m = head_attention(q_o, tk_o, tv_o, (1.0 - x_attn_mask) * -1e30,
+                                     scale, drop, self.num_heads)
 
         sd_kb = ProjParams(self.dim, name="s_dense")(self.dim)
         xd_kb = ProjParams(self.dim, name="x_dense")(self.dim)

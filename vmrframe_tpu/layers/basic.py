@@ -25,6 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from vmrframe_tpu.ops.precision import biased
+
 
 def torch_linear_init(key, shape, dtype=jnp.float32):
     """torch nn.Linear/Conv1d default: U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
@@ -60,7 +62,7 @@ class Conv1D(nn.Module):
         y = jnp.einsum("bld,do->blo", x, kernel)
         if self.use_bias:
             bias = self.param("bias", torch_bias_init_for(in_dim), (self.out_dim,))
-            y = y + bias
+            y = biased(y, bias)
         if self.activation is not None:
             y = self.activation(y)
         return y
@@ -80,7 +82,11 @@ class LayerNorm(nn.Module):
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y * scale + bias
+        out = y * scale + bias
+        # under the vector-param policy (ops/precision.py) scale/bias may be
+        # f32 while x is bf16: the affine runs f32 inside the fusion, the
+        # result returns to the activation dtype
+        return out.astype(x.dtype) if out.dtype != x.dtype else out
 
 
 def embedding_lookup(table: jnp.ndarray, ids: jnp.ndarray,
@@ -123,10 +129,32 @@ class WordEmbedding(nn.Module):
             "constants", "glove_vec",
             lambda: jnp.asarray(np.asarray(self.word_vectors, dtype=np.float32)),
         ).value
-        pad = jnp.zeros((1, self.word_dim), dtype=jnp.float32)
-        table = jnp.concatenate([pad, unk, glove], axis=0)
+        # The pad row must follow the table's compute dtype: a hardcoded f32
+        # row would promote the concatenated table — and, transitively, the
+        # whole text branch and everything attention later fuses it with —
+        # back to f32 under a bfloat16 compute policy (measured: 88 of the
+        # eval program's 126 matmuls silently ran f32 because of this line).
+        pad = jnp.zeros((1, self.word_dim), dtype=glove.dtype)
+        table = jnp.concatenate([pad, unk.astype(glove.dtype), glove], axis=0)
         emb = embedding_lookup(table, word_ids)
         return nn.Dropout(self.droprate)(emb, deterministic=deterministic)
+
+
+class _ConvKParams(nn.Module):
+    """Registers a width-k nn.Conv's (kernel, bias) pair — identical names,
+    shapes and initializers, so checkpoints are interchangeable with the
+    plain conv stack — without invoking the conv op."""
+
+    k: int
+    in_dim: int
+    ch: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_linear_init_conv(self.in_dim * self.k),
+                            (self.k, self.in_dim, self.ch))
+        bias = self.param("bias", torch_bias_init_for(self.in_dim * self.k), (self.ch,))
+        return kernel, bias
 
 
 class CharacterEmbedding(nn.Module):
@@ -151,25 +179,50 @@ class CharacterEmbedding(nn.Module):
             nn.initializers.normal(stddev=1.0),  # torch nn.Embedding default N(0,1)
             (self.num_chars, self.char_dim),
         )
-        emb = embedding_lookup(table, char_ids)  # (B, W, C, char_dim)
+        # reshape ids BEFORE the lookup: the gather then writes the flat
+        # (B·W, C, char_dim) layout its consumers read, instead of a 4D
+        # layout XLA repairs with two ~25 us copies (docs/TRACE_EVAL_B128)
+        flat_ids = char_ids.reshape(B * W, C)
+        emb = embedding_lookup(table, flat_ids)  # (B*W, C, char_dim)
         # padding_idx=0 semantics: zero out PAD rows (grad-free by masking)
-        emb = emb * (char_ids != 0).astype(emb.dtype)[..., None]
+        emb = emb * (flat_ids != 0).astype(emb.dtype)[..., None]
         emb = nn.Dropout(self.droprate)(emb, deterministic=deterministic)
-        emb = emb.reshape(B * W, C, self.char_dim)
-        outs = []
+
+        # All four width-k convs as ONE windows matmul.  Device traces
+        # (docs/TRACE_EVAL_B128.json) showed the separate conv lowerings plus
+        # the layout copies XLA inserts around them costing ~80 us of the
+        # 945 us eval step at the headline config.  A width-k VALID conv is
+        # a dot of the k-shifted stack: windows[t] = [x(t)..x(t+K-1)]
+        # (K = max width), and kernel k occupies the first k·char_dim rows
+        # of its column block with zeros below — so one (C, K·char_dim) @
+        # (K·char_dim, Σch) matmul computes every conv at every position.
+        # Positions t > C-k read zero-padding with zero weights (exact);
+        # they are excluded from the max by a static mask, matching each
+        # conv's own VALID range.  Params are the same conv_k{k} tree.
+        K = max(self.kernels)
+        kbs = []
         for k, ch in zip(self.kernels, self.channels):
-            y = nn.Conv(
-                features=ch,
-                kernel_size=(k,),
-                padding="VALID",
-                use_bias=True,
-                kernel_init=torch_linear_init_conv(self.char_dim * k),
-                bias_init=torch_bias_init_for(self.char_dim * k),
-                name=f"conv_k{k}",
-            )(emb)  # (B*W, C-k+1, ch)
-            y = jax.nn.relu(y)
-            outs.append(jnp.max(y, axis=1))  # (B*W, ch)
-        out = jnp.concatenate(outs, axis=-1)  # (B*W, 100)
+            kernel = _ConvKParams(k, self.char_dim, ch, name=f"conv_k{k}")()
+            kbs.append(kernel)
+        W_all = jnp.concatenate(
+            [jnp.concatenate(
+                [kern, jnp.zeros((K - k, self.char_dim, kern.shape[-1]), kern.dtype)],
+                axis=0).reshape(K * self.char_dim, -1)
+             for (kern, _), k in zip(kbs, self.kernels)], axis=1)
+        b_all = jnp.concatenate([b for _, b in kbs], axis=0)
+
+        emb_p = jnp.pad(emb, ((0, 0), (0, K - 1), (0, 0)))
+        windows = jnp.concatenate([emb_p[:, s : s + C] for s in range(K)], axis=-1)
+        z = biased(jnp.einsum("btd,dc->btc", windows, W_all.astype(emb.dtype)), b_all)
+
+        # static per-channel validity: conv k's max runs over t <= C-k
+        valid = np.zeros((C, sum(self.channels)), dtype=bool)
+        off = 0
+        for k, ch in zip(self.kernels, self.channels):
+            valid[: C - k + 1, off : off + ch] = True
+            off += ch
+        m = jnp.max(jnp.where(jnp.asarray(valid), z, -1e30), axis=1)
+        out = jax.nn.relu(m)  # relu(max) == max(relu) over the valid range
         return out.reshape(B, W, sum(self.channels))
 
 

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vmrframe_tpu.layers.basic import torch_linear_init
+from vmrframe_tpu.ops.precision import biased
 
 
 class GaussMultiheadAttention(nn.Module):
@@ -50,21 +51,38 @@ class GaussMultiheadAttention(nn.Module):
 
         in_proj_w = self.param("in_proj_weight", nn.initializers.xavier_uniform(), (3 * E, E))
         in_proj_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * E,))
-        q = query @ in_proj_w[:E].T + in_proj_b[:E]
-        k = key @ in_proj_w[E : 2 * E].T + in_proj_b[E : 2 * E]
-        v = value @ in_proj_w[2 * E :].T + in_proj_b[2 * E :]
+        # fuse projections whose inputs alias (torch's MHA does the same,
+        # F.multi_head_attention_forward): self-attn = ONE 3E matmul,
+        # cross-attn = q + fused kv — identical weights, identical math
+        if query is key and key is value:
+            qkv = biased(query @ in_proj_w.T, in_proj_b)
+            q, k, v = qkv[..., :E], qkv[..., E : 2 * E], qkv[..., 2 * E :]
+        elif key is value:
+            q = biased(query @ in_proj_w[:E].T, in_proj_b[:E])
+            kv = biased(key @ in_proj_w[E:].T, in_proj_b[E:])
+            k, v = kv[..., :E], kv[..., E:]
+        else:
+            q = biased(query @ in_proj_w[:E].T, in_proj_b[:E])
+            k = biased(key @ in_proj_w[E : 2 * E].T, in_proj_b[E : 2 * E])
+            v = biased(value @ in_proj_w[2 * E :].T, in_proj_b[2 * E :])
         q = q * (hd**-0.5)
 
-        q = q.reshape(B, Tq, H, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(B, Tk, H, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(B, Tk, H, hd).transpose(0, 2, 1, 3)
+        # reshape-only head split; heads ride as einsum batch dims.  The old
+        # explicit transpose(0, 2, 1, 3) materialized five ~118 us layout
+        # copies per CPL eval step at B·P=1024 (docs/TRACE_CPL_EVAL.json) —
+        # form (b) of layers/attention.py::head_attention's measured A/B.
+        q = q.reshape(B, Tq, H, hd)
+        k = k.reshape(B, Tk, H, hd)
+        v = v.reshape(B, Tk, H, hd)
 
-        w = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+        w = jnp.einsum("bqhd,bkhd->bhqk", q, k)
         if attn_mask is not None:  # (Tq, Tk) additive (-inf above diagonal)
             w = w + attn_mask[None, None]
         if key_padding_mask is not None:  # (B, Tk), 1 = PAD
             w = jnp.where(key_padding_mask[:, None, None, :] == 1, -1e30, w)
-        w = jax.nn.softmax(w, axis=-1)
+        # masked logits + softmax run f32 (the -inf mask promotes — good);
+        # the prob tensor returns to the compute dtype for the value matmul
+        w = jax.nn.softmax(w, axis=-1).astype(q.dtype)
 
         out_w = self.param("out_proj_kernel", nn.initializers.xavier_uniform(), (E, E))
         out_b = self.param("out_proj_bias", nn.initializers.zeros, (E,))
@@ -73,24 +91,24 @@ class GaussMultiheadAttention(nn.Module):
             if gauss_weight is not None:
                 gw = gauss_weight.reshape(B, P, Tk) + 1e-10
                 if deterministic:
-                    num = jnp.einsum("bhqk,bpk,bhkd->bphqd", w, gw, v)
-                    den = jnp.einsum("bhqk,bpk->bphq", w, gw)
+                    num = jnp.einsum("bhqk,bpk,bkhd->bpqhd", w, gw, v)
+                    den = jnp.einsum("bhqk,bpk->bpqh", w, gw)
                     out = num / den[..., None]
                 else:
                     wp = w[:, None] * gw[:, :, None, None, :]  # (B,P,H,Tq,Tk)
                     wp = wp / jnp.sum(wp, axis=-1, keepdims=True)
                     wp = nn.Dropout(self.dropout)(wp, deterministic=False)
-                    out = jnp.einsum("bphqk,bhkd->bphqd", wp, v)
+                    out = jnp.einsum("bphqk,bkhd->bpqhd", wp, v)
             else:
                 if deterministic:  # identical across P: project at B, tile once
-                    o = jnp.einsum("bhqk,bhkd->bhqd", w, v)
-                    o = o.transpose(0, 2, 1, 3).reshape(B, Tq, E) @ out_w + out_b
+                    o = jnp.einsum("bhqk,bkhd->bqhd", w, v)
+                    o = biased(o.reshape(B, Tq, E) @ out_w, out_b)
                     return jnp.repeat(o, P, axis=0), jnp.mean(w, axis=1)
                 wp = jnp.broadcast_to(w[:, None], (B, P, H, Tq, Tk))
                 wp = nn.Dropout(self.dropout)(wp, deterministic=False)
-                out = jnp.einsum("bphqk,bhkd->bphqd", wp, v)
-            out = out.transpose(0, 1, 3, 2, 4).reshape(B * P, Tq, E)
-            out = out @ out_w + out_b
+                out = jnp.einsum("bphqk,bkhd->bpqhd", wp, v)
+            out = out.reshape(B * P, Tq, E)
+            out = biased(out @ out_w, out_b)
             return out, jnp.mean(w, axis=1)
 
         if gauss_weight is not None:  # (B, Tk)
@@ -98,16 +116,18 @@ class GaussMultiheadAttention(nn.Module):
             w = w * (gw + 1e-10)
             w = w / jnp.sum(w, axis=-1, keepdims=True)
         w = nn.Dropout(self.dropout)(w, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", w, v).transpose(0, 2, 1, 3).reshape(B, Tq, E)
+        out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(B, Tq, E)
 
-        out = out @ out_w + out_b
+        out = biased(out @ out_w, out_b)
         return out, jnp.mean(w, axis=1)
 
 
 def _ln(x, scale, bias, eps=1e-5):
     mu = jnp.mean(x, -1, keepdims=True)
     var = jnp.mean(jnp.square(x - mu), -1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+    out = (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+    # vector-param policy (ops/precision.py): cast back to activation dtype
+    return out.astype(x.dtype) if out.dtype != x.dtype else out
 
 
 class TransformerDecoderLayer(nn.Module):
@@ -145,7 +165,7 @@ class TransformerDecoderLayer(nn.Module):
         b1 = self.param("fc1_bias", nn.initializers.zeros, (D * 2,))
         w2 = self.param("fc2_kernel", torch_linear_init, (D * 2, D))
         b2 = self.param("fc2_bias", nn.initializers.zeros, (D,))
-        x = jax.nn.relu(x @ w1 + b1) @ w2 + b2
+        x = biased(jax.nn.relu(biased(x @ w1, b1)) @ w2, b2)
         x = _ln(res + drop(x),
                 self.param("final_ln_scale", nn.initializers.ones, (D,)),
                 self.param("final_ln_bias", nn.initializers.zeros, (D,)))

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vmrframe_tpu.layers.basic import Conv1D, DepthwiseSeparableConvBlock, LayerNorm, PositionalEmbedding
-from vmrframe_tpu.layers.attention import _merge_heads, _split_heads
+from vmrframe_tpu.layers.attention import head_attention
 from vmrframe_tpu.ops.masking import attention_mask_2d
 
 
@@ -39,15 +39,10 @@ class TopSelfAttention(nn.Module):
         q_o, k_o, v_o = fused_proj(x, [ProjParams(self.dim, name="query")(D),
                                        ProjParams(self.dim, name="key")(D),
                                        ProjParams(self.dim, name="value")(D)])
-        query = _split_heads(q_o, self.num_heads)
-        key = _split_heads(k_o, self.num_heads)
-        value = _split_heads(v_o, self.num_heads)
-        attn_mask = attention_mask_2d(mask, mask)[:, None]
-        scores = jnp.einsum("bhld,bhmd->bhlm", query, key) / math.sqrt(head_size)
-        scores = scores + (1.0 - attn_mask) * -1e30
-        probs = jax.nn.softmax(scores, axis=-1)
-        probs = nn.Dropout(self.droprate)(probs, deterministic=deterministic)
-        out = _merge_heads(jnp.einsum("bhlm,bhmd->bhld", probs, value))
+        attn_mask = attention_mask_2d(mask, mask)
+        drop = lambda t: nn.Dropout(self.droprate)(t, deterministic=deterministic)
+        out = head_attention(q_o, k_o, v_o, (1.0 - attn_mask) * -1e30,
+                             1.0 / math.sqrt(head_size), drop, self.num_heads)
         return Conv1D(self.dim, name="out_proj")(out)
 
 

@@ -32,6 +32,10 @@ def _lstm_scan(x, mask, w_ih, w_hh, b_ih, b_hh):
     H = w_hh.shape[1]
     # hoist the input projection out of the scan: one big MXU matmul
     xw = jnp.einsum("btd,gd->btg", x, w_ih) + b_ih + b_hh  # (B, T, 4H)
+    # vector-param policy (ops/precision.py): f32 biases must not promote
+    # the scan carry/gates — bias add runs wide inside the fusion, result
+    # returns to the activation dtype
+    xw = xw.astype(x.dtype)
 
     def step(carry, inputs):
         h, c = carry
@@ -70,7 +74,8 @@ def _bilstm_fused_scan(x, x_rev, mask, wf, wr):
     H = wf[1].shape[1]
     xw_f = jnp.einsum("btd,gd->btg", x, wf[0]) + wf[2] + wf[3]
     xw_r = jnp.einsum("btd,gd->btg", x_rev, wr[0]) + wr[2] + wr[3]
-    xw = jnp.stack([xw_f, xw_r], axis=0)          # (2, B, T, 4H)
+    # vector-param policy: see _lstm_scan — keep the scan in the activation dtype
+    xw = jnp.stack([xw_f, xw_r], axis=0).astype(x.dtype)  # (2, B, T, 4H)
     whh = jnp.stack([wf[1], wr[1]], axis=0)       # (2, 4H, H)
     m_all = mask if mask is not None else jnp.ones((B, T), x.dtype)
 

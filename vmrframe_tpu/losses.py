@@ -122,7 +122,12 @@ def cal_nll_loss(logit: jnp.ndarray, idx: jnp.ndarray, mask: jnp.ndarray, weight
     acc = (jnp.argmax(logit, axis=-1) == idx).astype(jnp.float32)
     mean_acc = jnp.sum(acc * mask) / jnp.maximum(jnp.sum(mask), 1.0)
     logp = jax.nn.log_softmax(logit, axis=-1)
-    nll = -jnp.take_along_axis(logp, idx[..., None], axis=-1).squeeze(-1)
+    # target-logit pick as a one-hot contraction: XLA lowers take_along_axis
+    # to N·L scalar-indexed loads on TPU (measured 313 us of CPL's eval step
+    # at B·P=1024 — docs/TRACE_CPL_EVAL.json); the one-hot einsum is a VPU
+    # multiply-reduce that fuses with log_softmax (exact: one nonzero/row)
+    oh = jax.nn.one_hot(idx, logit.shape[-1], dtype=logp.dtype)
+    nll = -jnp.einsum("...v,...v->...", logp, oh)
     smooth = -jnp.sum(logp, axis=-1)
     nll = (1 - eps) * nll + eps / logit.shape[-1] * smooth
     if weights is None:

@@ -68,8 +68,11 @@ class BANQueryEncoder(nn.Module):
             "constants", "glove_vec",
             lambda: jnp.asarray(np.asarray(self.word_vectors, dtype=np.float32)),
         ).value
-        pad = jnp.zeros((1, self.embed_dim), dtype=jnp.float32)
-        table = jnp.concatenate([pad, unk, glove], axis=0)
+        # pad row must follow the table's compute dtype: a hardcoded f32 row
+        # would promote the whole text branch under a bf16 policy (same bug
+        # class as layers/basic.py WordEmbedding — see ops/precision.py)
+        pad = jnp.zeros((1, self.embed_dim), dtype=glove.dtype)
+        table = jnp.concatenate([pad, unk.astype(glove.dtype), glove], axis=0)
         from vmrframe_tpu.layers.basic import embedding_lookup
 
         emb = embedding_lookup(table, tokens)
@@ -108,7 +111,9 @@ class BANCQAttention(nn.Module):
         S = jnp.matmul(Cd, w4C) + jnp.matmul(Qd, w4Q).transpose(0, 2, 1) + jnp.einsum(
             "bld,bmd->blm", Cd * w4mlu, Qd
         )
-        S = S + bias
+        from vmrframe_tpu.ops.precision import biased
+
+        S = biased(S, bias)
         S1 = jax.nn.softmax(mask_logits(S, q_mask[:, None, :]), axis=2)
         S2 = jax.nn.softmax(S, axis=1)
         A = jnp.matmul(S1, Q)
@@ -126,10 +131,12 @@ class MLPBlock(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         from vmrframe_tpu.layers.basic import torch_linear_init, torch_bias_init_for
 
+        from vmrframe_tpu.ops.precision import biased
+
         in_dim = x.shape[-1]
         kernel = self.param("kernel", torch_linear_init, (in_dim, self.out_dim))
         b = self.param("bias", torch_bias_init_for(in_dim), (self.out_dim,))
-        y = jax.nn.relu(x @ kernel + b)
+        y = jax.nn.relu(biased(x @ kernel, b))
         return nn.Dropout(self.droprate)(y, deterministic=deterministic)
 
 
@@ -140,10 +147,12 @@ class Linear(nn.Module):
     def __call__(self, x):
         from vmrframe_tpu.layers.basic import torch_linear_init, torch_bias_init_for
 
+        from vmrframe_tpu.ops.precision import biased
+
         in_dim = x.shape[-1]
         kernel = self.param("kernel", torch_linear_init, (in_dim, self.out_dim))
         b = self.param("bias", torch_bias_init_for(in_dim), (self.out_dim,))
-        return x @ kernel + b
+        return biased(x @ kernel, b)
 
 
 class TemporalDifference(nn.Module):
@@ -285,7 +294,10 @@ class BAN(nn.Module):
         else:
             vlens = jnp.maximum(jnp.sum(batch["vmasks"], axis=1).astype(jnp.int32), 1)
             tlens = jnp.maximum(jnp.sum(batch["tmasks"], axis=1).astype(jnp.int32), 1)
-        tmask = (jnp.arange(batch["words_ids"].shape[1])[None, :] < tlens[:, None]).astype(jnp.float32)
+        # mask follows the feature dtype: an f32 mask would promote the
+        # CQ-attention chain under the bf16 policy (exact as 0/1 either way)
+        tmask = (jnp.arange(batch["words_ids"].shape[1])[None, :]
+                 < tlens[:, None]).astype(batch["vfeats"].dtype)
 
         _, clip_feature = BANVisualEncoder(m.dim, m.lstm_layer, name="visual_encoder")(
             batch["vfeats"], vlens)
@@ -342,9 +354,12 @@ class BAN(nn.Module):
             K = mapc_cells.shape[1]
 
             iis, jjs = jnp.asarray(ii), jnp.asarray(jj)
-            zc = A[:, iis] + Bt[:, jjs] + mapc_cells @ W3 + b  # (B, K, F)
+            from vmrframe_tpu.ops.precision import biased
+
+            zc = biased(A[:, iis] + Bt[:, jjs] + mapc_cells @ W3, b)  # (B, K, F)
             zc = jnp.concatenate(
-                [zc, jnp.broadcast_to(b, (B_, 1, fuse))], axis=1)  # + sentinel
+                [zc, jnp.broadcast_to(b.astype(zc.dtype), (B_, 1, fuse))],
+                axis=1)  # + sentinel
             map_cells = nn.Dropout(0.1)(jax.nn.relu(zc), deterministic=deterministic)
             tmap_all = Linear(1, name="predictor_out")(
                 MLPBlock(fuse, 0.1, name="predictor_hidden")(map_cells, deterministic)
@@ -369,9 +384,11 @@ class BAN(nn.Module):
             # content stream: segment-max map (only valid cells are nonzero)
             map2d_c = segment_max_map(fuse_feature, list(offsets))
             map2d_c = map2d_c * mask2d[None, :, :, None]
-            z = A[:, :, None, :] + Bt[:, None, :, :] \
-                + jnp.einsum("bijf,fg->bijg", map2d_c, W3) + b
-            z = jnp.where(mask2d[None, :, :, None], z, b)
+            from vmrframe_tpu.ops.precision import biased
+
+            z = biased(A[:, :, None, :] + Bt[:, None, :, :]
+                       + jnp.einsum("bijf,fg->bijg", map2d_c, W3), b)
+            z = jnp.where(mask2d[None, :, :, None], z, b.astype(z.dtype))
             map2d = jax.nn.relu(z)
             map2d = nn.Dropout(0.1)(map2d, deterministic=deterministic)
 
@@ -414,8 +431,9 @@ class BAN(nn.Module):
             offset_gt = jnp.zeros(prop_i.shape + (2,), jnp.float32)
         pred_s_e = jnp.stack([prop_i, prop_j + 1], axis=-1)  # grid spans (s, e)
 
-        # proposal positional encoding (BANlib/model.py:467-498)
-        pe = jnp.asarray(_sinusoid_pe(128, m.dim))
+        # proposal positional encoding (BANlib/model.py:467-498); follows the
+        # feature dtype so the PE concat can't promote the proposal branch
+        pe = jnp.asarray(_sinusoid_pe(128, m.dim)).astype(prop_feature.dtype)
         pos_s = pe[prop_i]
         pos_e = pe[prop_j]  # pe[e-1]
         prop_feature = Linear(fuse, name="prop_pe_fc")(

@@ -162,7 +162,9 @@ class TransformerLayer(nn.Module):
 def _layer_norm(x, scale, bias, eps=1e-5):
     mu = jnp.mean(x, -1, keepdims=True)
     var = jnp.mean(jnp.square(x - mu), -1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+    out = (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+    # vector-param policy (ops/precision.py): cast back to activation dtype
+    return out.astype(x.dtype) if out.dtype != x.dtype else out
 
 
 class RefBatchTransformerLayer(nn.Module):
@@ -224,11 +226,13 @@ class BatchNorm2dTanhConv(nn.Module):
 
         y = nn.Conv(self.features, (5, 5), padding="SAME",
                     kernel_init=torch_linear_init_conv(map2d.shape[-1] * 25),
-                    name="conv")(map2d)
+                    dtype=map2d.dtype, name="conv")(map2d)
         y = nn.BatchNorm(use_running_average=deterministic, momentum=0.9, epsilon=1e-5,
                          name="bn")(y)
-        y = jnp.tanh(y)
-        return nn.Conv(self.features, (3, 3), padding="SAME",
+        # BN stats/affine are f32 vector params (ops/precision.py): normalize
+        # runs f32 inside the fusion, result returns to the activation dtype
+        y = jnp.tanh(y).astype(map2d.dtype)
+        return nn.Conv(self.features, (3, 3), padding="SAME", dtype=y.dtype,
                        kernel_init=torch_linear_init_conv(self.features * 9),
                        name="conv1")(y)
 
@@ -274,8 +278,9 @@ class CCA(nn.Module):
             "constants", "glove_vec",
             lambda: jnp.asarray(np.asarray(self.word_vectors, dtype=np.float32)),
         ).value
-        pad = jnp.zeros((1, cfg.model.word_dim), jnp.float32)
-        table = jnp.concatenate([pad, unk, glove], axis=0)
+        # pad row follows the table's compute dtype (see ops/precision.py)
+        pad = jnp.zeros((1, cfg.model.word_dim), glove.dtype)
+        table = jnp.concatenate([pad, unk.astype(glove.dtype), glove], axis=0)
         from vmrframe_tpu.layers.basic import embedding_lookup
 
         tfeat = embedding_lookup(table, batch["words_ids"])

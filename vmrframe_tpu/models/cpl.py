@@ -28,6 +28,7 @@ from vmrframe_tpu.layers import VisualProjection
 from vmrframe_tpu.layers.basic import WordEmbedding, torch_linear_init
 from vmrframe_tpu.layers.cpl_decoder import TransformerDecoder
 from vmrframe_tpu.losses import div_loss_cpl, rec_loss_cpl, cal_nll_loss
+from vmrframe_tpu.ops.precision import biased
 from vmrframe_tpu.registry import register_model
 
 
@@ -67,28 +68,38 @@ class CPL(nn.Module):
         words_feat = WordEmbedding(m.word_dim, self.word_vectors, 0.0, name="word_emb")(
             word_ids, deterministic)
         start_vec = self.param("start_vec", nn.initializers.zeros, (m.word_dim,))
+        # start_vec is an f32 vector param (ops/precision.py): cast at the
+        # concat so it can't promote the whole text branch under bf16
         words_feat = jnp.concatenate(
-            [jnp.broadcast_to(start_vec[None, None], (B, 1, m.word_dim)), words_feat], axis=1)
+            [jnp.broadcast_to(start_vec[None, None].astype(words_feat.dtype),
+                              (B, 1, m.word_dim)), words_feat], axis=1)
         words_feat = nn.Dropout(0.1)(words_feat, deterministic=deterministic)
         wf_kernel = self.param("word_fc_kernel", torch_linear_init, (m.word_dim, dim))
         wf_bias = self.param("word_fc_bias", nn.initializers.zeros, (dim,))
-        tfeat_long = words_feat @ wf_kernel + wf_bias  # (B, T+1, dim)
+        tfeat_long = biased(words_feat @ wf_kernel, wf_bias)  # (B, T+1, dim)
         # mask over T+1 slots: word count + start token (cpl_lib._generate_mask)
         lens = jnp.sum(tmask, axis=1).astype(jnp.int32) + 1
-        tmask_long = (jnp.arange(word_ids.shape[1] + 1)[None, :] < lens[:, None]).astype(jnp.float32)
+        tmask_long = (jnp.arange(word_ids.shape[1] + 1)[None, :]
+                      < lens[:, None]).astype(vfeat.dtype)
 
         # proposal generator: learned pooling over time -> 2P sigmoid params
         cw_kernel = self.param("conv1d_cw_kernel", torch_linear_init, (L, 1))
         cw_bias = self.param("conv1d_cw_bias", nn.initializers.zeros, (1,))
-        weakly = jnp.einsum("bld,lo->bod", vfeat, cw_kernel).squeeze(1) + cw_bias  # (B, dim)
+        weakly = biased(jnp.einsum("bld,lo->bod", vfeat, cw_kernel).squeeze(1),
+                        cw_bias)  # (B, dim)
         fg_kernel = self.param("fc_gauss_kernel", torch_linear_init, (dim, P * 2))
         fg_bias = self.param("fc_gauss_bias", nn.initializers.zeros, (P * 2,))
-        gauss = jax.nn.sigmoid(weakly @ fg_kernel + fg_bias).reshape(B * P, 2)
+        gauss = jax.nn.sigmoid(biased(weakly @ fg_kernel, fg_bias)).reshape(B * P, 2)
         center, width = gauss[:, 0], gauss[:, 1]
 
         vmask_props = jnp.repeat(vmask, P, axis=0)
-        gauss_weight = generate_gauss_weight(L, center, width, vmask_props)
-        pos_weight = gauss_weight / jnp.max(gauss_weight, axis=-1, keepdims=True)
+        # Gaussian math runs f32 (exp/divide precision), the attention
+        # reweighting consumes it in the activation dtype
+        gauss_weight = generate_gauss_weight(
+            L, center.astype(jnp.float32), width.astype(jnp.float32),
+            vmask_props.astype(jnp.float32))
+        pos_weight = (gauss_weight
+                      / jnp.max(gauss_weight, axis=-1, keepdims=True)).astype(vfeat.dtype)
 
         # shared-prefix: the P proposal rows of one clip are IDENTICAL until
         # the per-proposal Gaussian reweights the attention, so each
@@ -123,7 +134,7 @@ class CPL(nn.Module):
                 src_gauss_weight=pos_weight, deterministic=deterministic)
         fc_kernel = self.param("fc_comp_kernel", torch_linear_init, (dim, self.derived.num_words))
         fc_bias = self.param("fc_comp_bias", nn.initializers.zeros, (self.derived.num_words,))
-        words_logit = out @ fc_kernel + fc_bias  # (B*P, T, V)
+        words_logit = biased(out @ fc_kernel, fc_bias)  # (B*P, T, V)
 
         return {
             "word_ids": word_ids,

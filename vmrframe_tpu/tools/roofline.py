@@ -327,11 +327,11 @@ def main():
         variables = model.init({"params": rng, "dropout": rng, "gumbel": rng},
                                batch, True)
 
+        from vmrframe_tpu.ops.precision import cast_floating
+
         def to_bf16(tree):
-            return jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.bfloat16)
-                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-                else x, tree)
+            # vector-param policy: rank<=1 params stay f32 (ops/precision.py)
+            return cast_floating(tree, jnp.bfloat16)
 
         dev = jax.devices()[0]
         vb = to_bf16(jax.device_put(variables, dev))

@@ -148,14 +148,9 @@ class Trainer:
     def _cast_for_compute(self, tree):
         if self.compute_dtype == jnp.float32:
             return tree
-        dt = self.compute_dtype
+        from vmrframe_tpu.ops.precision import cast_floating
 
-        def cast(x):
-            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
-                return x.astype(dt)
-            return x
-
-        return jax.tree_util.tree_map(cast, tree)
+        return cast_floating(tree, self.compute_dtype)
 
     @staticmethod
     def _upcast_outputs(outputs):
