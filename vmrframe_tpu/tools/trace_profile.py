@@ -239,7 +239,7 @@ def main():
         json.dump({"tag": tag, "batch": args.batch, "iters": args.iters,
                    "device_us_per_step": round(step_us, 2),
                    "by_category_us": {k: round(v, 2) for k, v in cats.items()},
-                   "rows": rows[:120]}, f, indent=1)
+                   "rows": rows[:2000]}, f, indent=1)
     print(f"\nwrote {out}")
 
 
