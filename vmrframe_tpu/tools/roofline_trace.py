@@ -52,7 +52,11 @@ def classify(row):
     name = row["name"]
     if cat == "data formatting" or name.startswith(("copy", "transpose", "bitcast")):
         return "copy"
-    if "reduce" in name:  # convert_reduce_fusion.* == LayerNorm-style stats
+    # LayerNorm-style stats fusions only: a reduce-NAMED convolution fusion
+    # is MXU work and must get the matmul floor, not floor=achieved (the
+    # round-3 version floored 179 us of matmul-bearing fusions at 100% of
+    # achieved, inflating the realizable floor).
+    if cat == "loop fusion" and "reduce" in name:
         return "reduce"
     if row.get("tflops", 0.0) >= MATMUL_TFLOPS_MIN and cat == "convolution fusion":
         return "matmul"
@@ -67,6 +71,9 @@ def main():
 
     d = json.load(open(a.trace))
     rows = [r for r in d["rows"] if r["category"] != "while"]
+    if not any(r["us_per_iter"] > 0 for r in rows):
+        raise SystemExit(f"no usable device rows in {a.trace} "
+                         "(all us_per_iter <= 0 or only 'while' rows)")
 
     agg = {}
     for r in rows:
@@ -74,8 +81,16 @@ def main():
         if us <= 0:
             continue
         kind = classify(r)
-        bytes_gb = r.get("gbps", 0.0) * us * 1e-6 / 8 * 8  # GB/s * s = GB
-        flops_t = r.get("tflops", 0.0) * us * 1e-6          # TFLOP
+        # prefer raw per-iter bytes/flops when the trace carries them;
+        # fall back to reconstructing from the rounded gbps/tflops rates
+        if "bytes_per_iter" in r:
+            bytes_gb = r["bytes_per_iter"] / 1e9
+        else:
+            bytes_gb = r.get("gbps", 0.0) * us * 1e-6  # GB/s * s = GB
+        if "flops_per_iter" in r:
+            flops_t = r["flops_per_iter"] / 1e12
+        else:
+            flops_t = r.get("tflops", 0.0) * us * 1e-6      # TFLOP
         if kind == "matmul":
             floor = max(flops_t / MXU_BF16_TFLOPS,
                         bytes_gb / (CHAIN_TBS * 1000.0)) * 1e6

@@ -185,6 +185,10 @@ def aggregate(trace: dict, iters: int):
             "category": r["category"],
             "gbps": round(r["bytes"] / (r["us"] * 1e3), 1) if r["us"] else 0.0,
             "tflops": round(r["flops"] / (r["us"] * 1e6), 2) if r["us"] else 0.0,
+            # raw per-iter counts so downstream floors (roofline_trace.py)
+            # don't reconstruct bytes/FLOPs from the rounded rates above
+            "bytes_per_iter": round(r["bytes"] / iters, 1),
+            "flops_per_iter": round(r["flops"] / iters, 1),
             "source": r["source"],
             "example": r["example"],
         })
