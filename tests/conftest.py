@@ -27,6 +27,28 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# Test tiers.  `pytest -m quick` = the fast gate (< ~5 min warm): every zoo
+# family's forward/loss/infer (test_model_zoo), the numpy data/label/metric
+# layer, and the flax layer-library unit tests.  Everything else (the
+# compile-heavy torch-parity suites, end-to-end training, multihost, serving)
+# is the full tier, still run by a plain `pytest tests/`.
+# ---------------------------------------------------------------------------
+QUICK_MODULES = {
+    "test_labels", "test_metrics", "test_losses", "test_augment", "test_optim",
+    "test_layers", "test_reference_configs", "test_reference_data",
+    "test_offline_tools", "test_native_nms", "test_feature_stores",
+    "test_input_pipeline", "test_windowed", "test_model_zoo",
+    "test_precision_policy",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in QUICK_MODULES and "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture(scope="session")
 def charades_cfg():
