@@ -49,13 +49,70 @@ def fused_proj(x, kbs):
 
     ks = jnp.concatenate([k for k, _ in kbs], axis=1)
     bs = jnp.concatenate([jnp.asarray(b) for _, b in kbs], axis=0)
-    y = biased(x @ ks, bs)
+    import os
+
+    if os.environ.get("VMR_MM2D"):  # layout experiment: canonical 2D GEMM
+        y2 = x.reshape(-1, x.shape[-1]) @ ks
+        y = biased(y2.reshape(*x.shape[:-1], y2.shape[-1]), bs)
+    else:
+        y = biased(x @ ks, bs)
     sizes = [k.shape[1] for k, _ in kbs]
     outs, off = [], 0
     for s in sizes:
         outs.append(y[..., off : off + s])
         off += s
     return outs
+
+
+def _proj_from_heads(ctx4, kbs):
+    """Output projection(s) read directly off the (B, H, L, hd) attention
+    output: the head merge folds into the contraction over (h, d), so the
+    merged (B, L, D) tensor never materializes.  Round-3 traces
+    (docs/TRACE_EVAL_B128.json) showed the merged tensor's layout being
+    repaired by a physical copy before every downstream matmul; this is the
+    round-4 fix the trace asked for.  Mathematically identical to
+    merge-then-matmul (same contraction, one dot)."""
+    from vmrframe_tpu.ops.precision import biased
+
+    H, hd = ctx4.shape[1], ctx4.shape[3]
+    ks = jnp.concatenate([k for k, _ in kbs], axis=1)
+    bs = jnp.concatenate([jnp.asarray(b) for _, b in kbs], axis=0)
+    y = biased(jnp.einsum("bhld,hde->ble", ctx4, ks.reshape(H, hd, -1)), bs)
+    outs, off = [], 0
+    for k, _ in kbs:
+        s = k.shape[1]
+        outs.append(y[..., off : off + s])
+        off += s
+    return outs
+
+
+def _attn_variant():
+    """Layout-formulation knob for the dual-attention score/apply chain.
+
+    Round-4 on-chip A/B at the headline config (B=128 Charades bench.py,
+    same session, v0 control 140.9k q/s):
+
+      v0  — round-3 form: reshape-only heads, merge-then-matmul tail
+            (DEFAULT — every alternative measured worse)
+      v2  — folded tail: apply emits (B,H,L,hd), output projections contract
+            (h,d) directly (no merged tensor)        → 135.6k q/s (-3.8%)
+      v2t — v2 with operands pre-transposed          → 135.0k q/s (-4.2%)
+      v3  — self+cross K concatenated, one score dot → compile blow-up (DNF
+            inside a 900 s bench budget)
+      v23 — v3 scores + v2 folded tail               →  95.8k q/s (-32%)
+
+    i.e. the round-3 VERDICT's suggested rewrites (fold the head merge into
+    the output projection; feed the dot emitter its preferred layouts) are
+    measured NEGATIVES: the folded (h,d) contraction is a worse TPU dot than
+    the merged 2D GEMM, and removing the repair copies costs more in the ops
+    that replace them.  The ~259 us/step of layout copies
+    (docs/TRACE_EVAL_B128.json) are the price of XLA choosing B-on-lanes for
+    the LN/stat fusions while the dot emitter wants D-on-lanes operands —
+    see BASELINE.md "Round-4 attempts" for the full record.
+    """
+    import os
+
+    return os.environ.get("VMR_ATTN_VARIANT", "v0")
 
 
 def _split_heads(x, num_heads):
@@ -202,6 +259,7 @@ class DualMultiAttention(nn.Module):
         from vmrframe_tpu.kernels.attention import fused_dual_attention, pallas_supported
 
         no_dropout = deterministic or self.droprate == 0.0
+        s_ctx = x_ctx = None
         if self.use_pallas and no_dropout and pallas_supported():
             # the parked Pallas kernel consumes (B, H, L, hd) tiles
             def hsplit(x):
@@ -215,10 +273,44 @@ class DualMultiAttention(nn.Module):
             x_val_m = _merge_heads(x_val_h.transpose(0, 2, 1, 3))
         else:
             scale = 1.0 / math.sqrt(head_size)
-            s_val_m = head_attention(q_o, fk_o, fv_o, (1.0 - s_attn_mask) * -1e30,
-                                     scale, drop, self.num_heads)
-            x_val_m = head_attention(q_o, tk_o, tv_o, (1.0 - x_attn_mask) * -1e30,
-                                     scale, drop, self.num_heads)
+            var = _attn_variant()
+            if var == "v0":
+                s_val_m = head_attention(q_o, fk_o, fv_o, (1.0 - s_attn_mask) * -1e30,
+                                         scale, drop, self.num_heads)
+                x_val_m = head_attention(q_o, tk_o, tv_o, (1.0 - x_attn_mask) * -1e30,
+                                         scale, drop, self.num_heads)
+            else:
+                H = self.num_heads
+                sq, sfk, sfv = (_split_heads(t, H) for t in (q_o, fk_o, fv_o))
+                stk, stv = (_split_heads(t, H) for t in (tk_o, tv_o))
+                s_add = ((1.0 - s_attn_mask) * -1e30)[:, None]
+                x_add = ((1.0 - x_attn_mask) * -1e30)[:, None]
+                if var == "v2t":
+                    sq, sfk, sfv, stk, stv = (
+                        t.transpose(0, 2, 1, 3) for t in (sq, sfk, sfv, stk, stv))
+                    s_scores = jnp.einsum("bhld,bhmd->bhlm", sq, sfk) * scale + s_add
+                    x_scores = jnp.einsum("bhld,bhmd->bhlm", sq, stk) * scale + x_add
+                elif var in ("v3", "v23"):
+                    kcat = jnp.concatenate([sfk, stk], axis=1)
+                    sc = jnp.einsum("blhd,bnhd->bhln", sq, kcat) * scale
+                    Lf = sfk.shape[1]
+                    s_scores = sc[..., :Lf] + s_add
+                    x_scores = sc[..., Lf:] + x_add
+                else:  # v2
+                    s_scores = jnp.einsum("blhd,bmhd->bhlm", sq, sfk) * scale + s_add
+                    x_scores = jnp.einsum("blhd,bmhd->bhlm", sq, stk) * scale + x_add
+                s_p = drop(jax.nn.softmax(s_scores, axis=-1))
+                x_p = drop(jax.nn.softmax(x_scores, axis=-1))
+                if var == "v2t":
+                    s_ctx = jnp.einsum("bhlm,bhmd->bhld", s_p, sfv)
+                    x_ctx = jnp.einsum("bhlm,bhmd->bhld", x_p, stv)
+                elif var == "v3":
+                    s_ctx = x_ctx = None
+                    s_val_m = _merge_heads(jnp.einsum("bhlm,bmhd->blhd", s_p, sfv))
+                    x_val_m = _merge_heads(jnp.einsum("bhlm,bmhd->blhd", x_p, stv))
+                else:  # v2 / v23: folded tail consumes (B, H, L, hd)
+                    s_ctx = jnp.einsum("bhlm,bmhd->bhld", s_p, sfv)
+                    x_ctx = jnp.einsum("bhlm,bmhd->bhld", x_p, stv)
 
         sd_kb = ProjParams(self.dim, name="s_dense")(self.dim)
         xd_kb = ProjParams(self.dim, name="x_dense")(self.dim)
@@ -230,10 +322,14 @@ class DualMultiAttention(nn.Module):
         # collapses algebraically: gate(dense(h)) = h @ (Wd Wg) + (bd Wg + bg).
         # One wide matmul per branch yields (value, score) together — the
         # composite kernels are loop-invariant and hoist out of serving loops.
-        s_value, s_score = fused_proj(
-            s_val_m, [sd_kb, (sd_kb[0] @ sg_kb[0], sd_kb[1] @ sg_kb[0] + sg_kb[1])])
-        x_value, x_score = fused_proj(
-            x_val_m, [xd_kb, (xd_kb[0] @ xg_kb[0], xd_kb[1] @ xg_kb[0] + xg_kb[1])])
+        s_comp = (sd_kb[0] @ sg_kb[0], sd_kb[1] @ sg_kb[0] + sg_kb[1])
+        x_comp = (xd_kb[0] @ xg_kb[0], xd_kb[1] @ xg_kb[0] + xg_kb[1])
+        if s_ctx is not None:
+            s_value, s_score = _proj_from_heads(s_ctx, [sd_kb, s_comp])
+            x_value, x_score = _proj_from_heads(x_ctx, [xd_kb, x_comp])
+        else:
+            s_value, s_score = fused_proj(s_val_m, [sd_kb, s_comp])
+            x_value, x_score = fused_proj(x_val_m, [xd_kb, x_comp])
 
         outputs = s_score * x_value + x_score * s_value
         outputs = Conv1D(self.dim, name="guided_dense")(outputs)

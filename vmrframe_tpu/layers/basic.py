@@ -59,7 +59,12 @@ class Conv1D(nn.Module):
     def __call__(self, x):
         in_dim = x.shape[-1]
         kernel = self.param("kernel", torch_linear_init, (in_dim, self.out_dim))
-        y = jnp.einsum("bld,do->blo", x, kernel)
+        import os
+
+        if os.environ.get("VMR_MM2D"):  # layout experiment: canonical 2D GEMM
+            y = (x.reshape(-1, in_dim) @ kernel).reshape(*x.shape[:-1], self.out_dim)
+        else:
+            y = jnp.einsum("bld,do->blo", x, kernel)
         if self.use_bias:
             bias = self.param("bias", torch_bias_init_for(in_dim), (self.out_dim,))
             y = biased(y, bias)
