@@ -96,3 +96,54 @@ def test_shared_prefix_matches_repeated_path(charades_cfg):
     assert np.isfinite(float(loss))
     gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(grads))
     assert gnorm > 0
+
+
+def test_remat_matches_baseline(charades_cfg):
+    """others.cpl_remat replays the decoder layers inside the backward
+    instead of saving the (B*P, H, Tq, Tk) prob-map residuals
+    (docs/TRACE_CPL_TRAIN.json: the train step is HBM-bound on exactly that
+    traffic).  jax.checkpoint replays the SAME dropout rng, so both the
+    outputs and the gradients must match the non-remat path."""
+    from vmrframe_tpu.registry import get_model_entry
+
+    base = charades_cfg.updated({
+        "model.name": "CPL",
+        "others": {"cpl_num_props": 4, "cpl_div_lambda": 0.15,
+                   "cpl_div_loss_alhpa": 1.0, "cpl_shared_prefix": False},
+    })
+    cfg_rm = base.updated({"others.cpl_remat": True})
+    dataset, store = make_synthetic_data(base, seed=0, n_train=8, n_test=4)
+    derived = Derived(num_words=dataset["n_words"], num_chars=dataset["n_chars"],
+                      num_train_steps=2, steps_per_epoch=2)
+    batch = next(Batcher(dataset["train_set"], store, base, derived, "train").epoch(seed=0))
+    batch = {k: jnp.asarray(v) for k, v in batch.items() if hasattr(v, "dtype")}
+
+    entry = get_model_entry("CPL")
+    rng = jax.random.PRNGKey(0)
+    m0 = entry.model_cls(base, derived, dataset["word_vector"])
+    m1 = entry.model_cls(cfg_rm, derived, dataset["word_vector"])
+    variables = m0.init({"params": rng, "dropout": rng, "gumbel": rng}, batch, True)
+    # identical param trees: remat is a transform, not a module change
+    v1 = m1.init({"params": rng, "dropout": rng, "gumbel": rng}, batch, True)
+    assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(v1)
+
+    out0 = m0.apply(variables, batch, True)
+    out1 = m1.apply(variables, batch, True)
+    for k in out0:
+        np.testing.assert_allclose(np.asarray(out1[k]), np.asarray(out0[k]),
+                                   atol=1e-6, err_msg=f"eval output {k} diverged")
+
+    consts = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss_fn(params, model):
+        out = model.apply({"params": params, **consts}, batch, False,
+                          rngs={"dropout": jax.random.PRNGKey(1),
+                                "gumbel": jax.random.PRNGKey(2)})
+        return entry.loss_fn(out, batch, base)
+
+    l0, g0 = jax.value_and_grad(loss_fn)(variables["params"], m0)
+    l1, g1 = jax.value_and_grad(loss_fn)(variables["params"], m1)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for p0, p1 in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                                   atol=5e-6, rtol=1e-5)

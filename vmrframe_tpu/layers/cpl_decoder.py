@@ -184,6 +184,7 @@ class TransformerDecoder(nn.Module):
     num_heads: int
     dropout: float = 0.0
     future_mask: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, src, src_mask, tgt, tgt_mask, src_gauss_weight=None,
@@ -201,13 +202,30 @@ class TransformerDecoder(nn.Module):
             attn_mask = jnp.triu(jnp.full((T, T), -jnp.inf), k=1)
         pad_tgt = None if tgt_mask is None else 1 - tgt_mask
         pad_src = None if src_mask is None else 1 - src_mask
+        # Rematerialization (opt-in, MEASURED NEGATIVE at shipped dims): the
+        # train-step backward otherwise saves every (B·P, H, Tq, Tk)
+        # attention-probability tensor as a residual — at CPL's B·P=1024
+        # those are ~67 MB f32 EACH, and the round-4 device trace
+        # (docs/TRACE_CPL_TRAIN.json) shows the step HBM-bound on exactly
+        # that traffic (189-202 MB fusions at 313-457 GB/s).  nn.remat saves
+        # only the layer inputs and replays the layer (same dropout rng)
+        # inside the backward.  On-chip A/B (docs/BENCH_ZOO.json round 4):
+        # 28.15 -> 37.22 ms/step — the replayed forward's own HBM traffic +
+        # extra scheduling exceeds the residual round-trips it saves, and
+        # achieved bandwidth DROPS (374 -> 283 GB/s).  Kept as an opt-in
+        # memory lever (``others.cpl_remat``) for larger-B·P regimes where
+        # residuals would not fit HBM.  deterministic/n_props are static.
+        layer_cls = TransformerDecoderLayer
+        if self.remat:
+            # flax counts self as argument 0: deterministic=8, n_props=9
+            layer_cls = nn.remat(TransformerDecoderLayer, static_argnums=(8, 9))
         x = tgt
         weight = None
         for i in range(self.num_layers):
-            x, weight = TransformerDecoderLayer(
+            x, weight = layer_cls(
                 self.d_model, self.num_heads, self.dropout, name=f"layer_{i}"
             )(x, pad_tgt, src, pad_src, attn_mask, src_gauss_weight, tgt_gauss_weight,
-              deterministic, n_props=n_props if i == 0 else 1)
+              deterministic, n_props if i == 0 else 1)
             if i == 0 and n_props > 1 and pad_tgt is not None:
                 pad_tgt = jnp.repeat(pad_tgt, n_props, axis=0)
         return x, weight

@@ -106,30 +106,40 @@ class CPL(nn.Module):
         # decoder's first layer computes q/k/v + logits + softmax once per
         # clip, not once per proposal (exact — see cpl_decoder.py; the
         # reference repeats the inputs 8x, models/model.py:150-166).
-        # Default: shared in deterministic (eval/serving) mode, where the
-        # commuted form also skips the per-proposal prob tensor (measured
-        # 1.25x CPU eval); train mode keeps the repeated path unless
-        # cpl_shared_prefix == "always" (train-mode dropout needs the probs
-        # materialized per proposal anyway, so the saving there is smaller
-        # and measured slightly negative on CPU).
+        # Default (True/"always"): shared in BOTH modes — round-4 on-chip A/B
+        # (docs/BENCH_ZOO.json): train 28.15 -> 22.62 ms/step (1.24x, GFLOPs
+        # 71.4 -> 62.4), eval 1.25x; dropout masks stay independent per
+        # (b, p) row (probs formed per proposal after the shared softmax),
+        # and with droprate=0 the trajectory is exactly the repeated path's
+        # (tests/test_reference_trainer_parity_zoo.py pins it vs torch).
+        # "eval": shared in deterministic mode only (the rounds-2/3 default,
+        # from a CPU A/B that the chip measurement reversed).  False: the
+        # reference-shaped repeated path everywhere.
         sp = self.cfg.others.get("cpl_shared_prefix", True) \
             if "others" in self.cfg else True
-        shared = (bool(sp) and deterministic) or sp == "always"
+        shared = sp == "always" or (bool(sp) and (deterministic or sp is True))
+        # remat (opt-in memory lever): replay the decoder layers inside the
+        # backward instead of saving the (B·P, H, Tq, Tk) prob-map residuals.
+        # On-chip it's SLOWER at shipped dims (28.2 -> 37.2 ms/step, round-4
+        # A/B in docs/BENCH_ZOO.json) — see layers/cpl_decoder.py for the
+        # measurement; use only when residuals would not fit HBM
+        rm = bool(self.cfg.others.get("cpl_remat", False)) \
+            if "others" in self.cfg else False
         if shared:
-            enc_out, _ = TransformerDecoder(2, dim, 4, 0.1, name="decoder1")(
+            enc_out, _ = TransformerDecoder(2, dim, 4, 0.1, remat=rm, name="decoder1")(
                 None, None, vfeat, vmask, tgt_gauss_weight=pos_weight,
                 deterministic=deterministic, n_props=P)
-            out, _ = TransformerDecoder(2, dim, 4, 0.1, name="decoder2")(
+            out, _ = TransformerDecoder(2, dim, 4, 0.1, remat=rm, name="decoder2")(
                 enc_out, vmask_props, tfeat_long[:, :-1], tmask_long[:, :-1],
                 src_gauss_weight=pos_weight, deterministic=deterministic, n_props=P)
         else:
             vfeat_props = jnp.repeat(vfeat, P, axis=0)
             tmask_props = jnp.repeat(tmask_long[:, :-1], P, axis=0)
             tfeat_props = jnp.repeat(tfeat_long[:, :-1], P, axis=0)
-            enc_out, _ = TransformerDecoder(2, dim, 4, 0.1, name="decoder1")(
+            enc_out, _ = TransformerDecoder(2, dim, 4, 0.1, remat=rm, name="decoder1")(
                 None, None, vfeat_props, vmask_props, tgt_gauss_weight=pos_weight,
                 deterministic=deterministic)
-            out, _ = TransformerDecoder(2, dim, 4, 0.1, name="decoder2")(
+            out, _ = TransformerDecoder(2, dim, 4, 0.1, remat=rm, name="decoder2")(
                 enc_out, vmask_props, tfeat_props, tmask_props,
                 src_gauss_weight=pos_weight, deterministic=deterministic)
         fc_kernel = self.param("fc_comp_kernel", torch_linear_init, (dim, self.derived.num_words))

@@ -43,6 +43,18 @@ MODELS = {
                                      "model.tlen": 25}),
     "ActionFormer": (f"{REF}/charades/ActionFormer.yaml", {}),
     "CPL": (f"{REF}/charades/main_i3d_cpl.json", {"model.tlen": 25}),
+    # round-4 train-side A/B variants (docs/TRACE_CPL_TRAIN.json motivated).
+    # Outcomes: remat (drop the 67 MB prob-map residuals) measured NEGATIVE
+    # on chip (28.2 -> 37.2 ms over the repeated path); shared-prefix in
+    # train mode measured 1.24x (28.15 -> 22.62) and became the default —
+    # CPL_rep keeps the old repeated path measurable, CPL_sp was its alias
+    # during the A/B (same as default CPL now).
+    "CPL_remat": (f"{REF}/charades/main_i3d_cpl.json",
+                  {"model.tlen": 25, "others.cpl_remat": True}),
+    "CPL_rep": (f"{REF}/charades/main_i3d_cpl.json",
+                {"model.tlen": 25, "others.cpl_shared_prefix": "eval"}),
+    "CPL_sp": (f"{REF}/charades/main_i3d_cpl.json",
+               {"model.tlen": 25, "others.cpl_shared_prefix": "always"}),
     # long-video regime: T=2304, window 19 — the banded Pallas kernel
     # auto-enables (vs the ...XLA twin which forces the band-mask path)
     "ActionFormerLong": (f"{REPO}/configs/tacos_actionformer_long.yaml", {}),
@@ -169,16 +181,47 @@ def bench_model(name: str, n_small: int, n_big: int):
         def one_eval(state, batch):
             return trainer._eval_step(state, batch)["ious"]
 
-        tf = float(one_train.lower(state, device_batch, step_rng)
-                   .compile().cost_analysis().get("flops", 0.0))
-        ef = float(one_eval.lower(state, device_batch)
-                   .compile().cost_analysis().get("flops", 0.0))
+        ca_t = one_train.lower(state, device_batch, step_rng).compile().cost_analysis()
+        ca_e = one_eval.lower(state, device_batch).compile().cost_analysis()
+        tf = float(ca_t.get("flops", 0.0))
+        ef = float(ca_e.get("flops", 0.0))
         res["train_gflops_per_step"] = round(tf / 1e9, 2)
         res["eval_gflops_per_step"] = round(ef / 1e9, 2)
         res["train_achieved_tflops"] = round(tf / tr / 1e12, 2)
         res["eval_achieved_tflops"] = round(ef / ev / 1e12, 2)
         res["train_mfu_pct"] = round(100.0 * tf / tr / PEAK_FLOPS, 2)
         res["eval_mfu_pct"] = round(100.0 * ef / ev / PEAK_FLOPS, 2)
+        # --- bandwidth accounting + bound classification.  "bytes accessed"
+        # is XLA's whole-program buffer traffic (HBM-resident operands; VMEM
+        # re-use not subtracted) — an upper bound on HBM bytes, same basis
+        # as tools/roofline.py.  v5e HBM peak ~819 GB/s.
+        PEAK_HBM = 819e9
+        tb = float(ca_t.get("bytes accessed", 0.0))
+        eb = float(ca_e.get("bytes accessed", 0.0))
+        res["train_hbm_gb_per_step"] = round(tb / 1e9, 3)
+        res["eval_hbm_gb_per_step"] = round(eb / 1e9, 3)
+        res["train_hbm_gbps"] = round(tb / tr / 1e9, 1)
+        res["eval_hbm_gbps"] = round(eb / ev / 1e9, 1)
+
+        def classify(flops, byts, sec):
+            """Which silicon limit is the step nearest?  >=25% of MXU peak ->
+            compute-bound enough that only math changes help; >=50% of HBM
+            peak -> bandwidth-bound (fusion/precision changes help); else the
+            step is schedule-bound: XLA fusion granularity / layout copies /
+            small-op dispatch, the regime docs/ROOFLINE_TRACE.json measures."""
+            mxu = flops / sec / PEAK_FLOPS
+            hbm = byts / sec / PEAK_HBM
+            if mxu >= 0.25:
+                return f"MXU ({100*mxu:.0f}% of bf16 peak)"
+            if hbm >= 0.50:
+                # >100% is possible: "bytes accessed" counts VMEM-reused
+                # buffers, so it upper-bounds true HBM traffic
+                return f"HBM ({100*hbm:.0f}% of 819 GB/s upper-bound bytes)"
+            return (f"schedule/permute (MXU {100*mxu:.1f}%, HBM {100*hbm:.0f}%"
+                    " — fusion granularity, not silicon)")
+
+        res["train_bound"] = classify(tf, tb, tr)
+        res["eval_bound"] = classify(ef, eb, ev)
     except Exception as e:  # cost analysis availability is backend-dependent
         res["mfu_error"] = f"{type(e).__name__}: {e}"
     return res
@@ -191,6 +234,9 @@ def main():
     ap.add_argument("--n-big", type=int, default=20)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=os.path.join(REPO, "docs", "BENCH_ZOO.json"))
+    ap.add_argument("--round", type=int, default=None,
+                    help="stamp measured_round on every row this run writes "
+                         "(VERDICT r3 stale-row discipline)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -221,6 +267,8 @@ def main():
         except Exception as e:
             res = {"model": name, "error": f"{type(e).__name__}: {e}",
                    "trace": traceback.format_exc()[-1500:]}
+        if args.round is not None:
+            res["measured_round"] = args.round
         print(json.dumps({k: v for k, v in res.items() if k != "trace"}), flush=True)
         upsert(res)
         import jax
