@@ -70,6 +70,34 @@ def test_cca_trains_with_batchnorm_state(cca_cfg):
     np.testing.assert_allclose(ious1, ious2, atol=1e-6)
 
 
+def test_scores_knob_paths_agree_full_model(cca_cfg):
+    """others.cca_contraction_scores gates two EXACT formulations of the
+    cosine scores (contraction einsums vs broadcast product + l2norm); the
+    full CCA forward must produce the same scores2d under both, in train
+    mode (where "eval"-default now routes to the product form — the
+    contraction backward measured a 1.5x on-chip train regression,
+    docs/BENCH_ZOO.json CCA_contract)."""
+    from vmrframe_tpu.models.cca import CCA
+
+    dataset, store = make_synthetic_data(cca_cfg, seed=0, n_train=4, n_test=2)
+    derived = Derived(num_words=dataset["n_words"], num_chars=dataset["n_chars"],
+                      num_train_steps=2, steps_per_epoch=1)
+    batch = next(CCABatcher(dataset["train_set"], store, cca_cfg, derived,
+                            "train").epoch(seed=0, shuffle=False))
+    rng = jax.random.PRNGKey(0)
+    outs = {}
+    for mode in ("always", "never"):
+        cfg = cca_cfg.updated({"others.cca_contraction_scores": mode})
+        model = CCA(cfg=cfg, derived=derived, word_vectors=dataset["word_vector"])
+        variables = model.init({"params": rng, "dropout": rng}, batch, True)
+        out, _ = model.apply(variables, batch, False,
+                             rngs={"dropout": jax.random.PRNGKey(7)},
+                             mutable=["batch_stats"])
+        outs[mode] = np.asarray(out["scores2d"])
+    np.testing.assert_allclose(outs["always"], outs["never"],
+                               atol=2e-4, rtol=2e-4)
+
+
 def test_scores_contraction_matches_normalize_then_sum():
     """models/cca.py::scores computes sum_h F.normalize(q*m) as two
     H-contractions (the (B,L,L,H) product never materializes); pin it

@@ -82,6 +82,46 @@ def test_flat_adamw_matches_tree_chain(model_params, frozen):
                 err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
 
 
+def test_build_optimizer_auto_follows_registry_hint(model_params):
+    """``train.flat_optimizer`` default "auto" routes via the per-family
+    measured hint (registry ``optimizer_impl``); an explicit cfg bool always
+    wins over the hint."""
+    from types import SimpleNamespace
+
+    from vmrframe_tpu.train.optim import build_optimizer
+
+    cfg, params = model_params
+
+    def impl_of(tx):
+        # flat_adamw state is a dict with a raveled "mu"; the optax chain's
+        # init returns a tuple of per-transform states
+        state = tx.init(params)
+        return "flat" if isinstance(state, dict) and "mu" in state else "tree"
+
+    # auto + no hint -> flat (the general default)
+    assert impl_of(build_optimizer(cfg, 8)) == "flat"
+    # auto + tree hint (ActionFormer/BAN measured rows) -> tree chain
+    assert impl_of(build_optimizer(cfg, 8, impl_hint="tree")) == "tree"
+
+    def with_flat(value):
+        t = cfg.train
+        return SimpleNamespace(train=SimpleNamespace(
+            flat_optimizer=value, clip_norm=t.clip_norm, lr=t.lr,
+            warmup_proportion=t.warmup_proportion))
+
+    ns_true, ns_false = with_flat(True), with_flat(False)
+    # explicit bool overrides the hint in both directions
+    assert impl_of(build_optimizer(ns_true, 8, impl_hint="tree")) == "flat"
+    assert impl_of(build_optimizer(ns_false, 8, impl_hint=None)) == "tree"
+    # registered hints resolve: AF/BAN/CCA are tree, SeqPAN/CPL default flat
+    from vmrframe_tpu.registry import get_model_entry
+
+    assert get_model_entry("ActionFormer").optimizer_impl == "tree"
+    assert get_model_entry("BAN").optimizer_impl == "tree"
+    assert get_model_entry("CCA").optimizer_impl == "tree"
+    assert get_model_entry("SeqPAN").optimizer_impl is None
+
+
 def test_flat_adamw_frozen_params_pinned(model_params):
     cfg, params = model_params
     flat = flat_adamw(cfg, num_train_steps=8,

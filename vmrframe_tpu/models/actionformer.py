@@ -326,4 +326,7 @@ register_model(
     stateful=True,
     init_extras=actionformer_init_extras,
     batcher_cls=ActionFormerBatcher,
+    # round-4 on-chip A/B: tree-chain AdamW 8.8 vs flat 11.8 ms/step at
+    # charades dims (docs/BENCH_ZOO.json ActionFormer_{treeopt,flatfix})
+    optimizer_impl="tree",
 )(ActionFormer)

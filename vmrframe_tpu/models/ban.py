@@ -591,4 +591,7 @@ def ban_infer(outputs, batch, cfg):
 
 from vmrframe_tpu.data.ban_batcher import BANBatcher  # noqa: E402
 
-register_model("BAN", loss_fn=ban_loss, infer_fn=ban_infer, batcher_cls=BANBatcher)(BAN)
+# optimizer_impl: round-4 on-chip A/B — tree-chain AdamW 23.5 vs flat 26.8
+# ms/step at charades dims (docs/BENCH_ZOO.json)
+register_model("BAN", loss_fn=ban_loss, infer_fn=ban_infer, batcher_cls=BANBatcher,
+               optimizer_impl="tree")(BAN)

@@ -301,17 +301,33 @@ class CCA(nn.Module):
 
         v_t = self.param("v_t_param", nn.initializers.constant(0.5), (1,))
 
+        # Two EXACT formulations of the reference's normalize-then-sum cosine
+        # (models/CCA.py:366-374): sum_h l2norm(q*m) ==
+        # (sum_h q*m) / sqrt(max(sum_h q^2*m^2, eps^2)).
+        # "contraction": two H-contraction einsums — the (B, L, L, H) product
+        #   never materializes in the FORWARD, which wins eval (6.4 -> 6.15
+        #   ms/step on-chip); but its BACKWARD re-materializes the map via
+        #   bij,bh->bijh outer products and measured a 1.5x TRAIN regression
+        #   (63.9 -> 99.6 ms/step, caught by the round-4 zoo re-measure after
+        #   commit 89fe514 landed with only a CPU A/B).
+        # "product": the broadcast q*m + l2norm chain XLA fuses into the map
+        #   producer — the formulation the r3 63.9 ms train row measured.
+        # others.cca_contraction_scores: "eval" (default — contraction in
+        # deterministic mode only), "always", or "never".
+        mode = str(self.cfg.others.get("cca_contraction_scores", "eval")) \
+            if "others" in self.cfg else "eval"
+        use_contraction = (mode == "always") or (mode == "eval" and deterministic)
+        eps = 1e-12
+
         def scores(q, m):
-            # sum_h l2norm(q*m) == (sum_h q*m) / sqrt(max(sum_h q^2*m^2, eps^2))
-            # — the reference's normalize-then-sum (models/CCA.py:366-374)
-            # reduced to two H-contractions, so the (B, L, L, H) product and
-            # its l2norm chain (and their backward) never materialize.
-            eps = 1e-12
-            num = jnp.einsum("bh,bijh->bij", q, m)
-            den = jnp.sqrt(jnp.maximum(
-                jnp.einsum("bh,bijh->bij", jnp.square(q), jnp.square(m)),
-                eps * eps))
-            return num / den
+            if use_contraction:
+                num = jnp.einsum("bh,bijh->bij", q, m)
+                den = jnp.sqrt(jnp.maximum(
+                    jnp.einsum("bh,bijh->bij", jnp.square(q), jnp.square(m)),
+                    eps * eps))
+                return num / den
+            prod = q[:, None, None, :] * m  # (B, L, L, H)
+            return jnp.sum(l2norm(prod), axis=-1)
 
         v2t = scores(queries, map2d_fused)
         t2v = scores(queries_fused, map2d)
@@ -338,4 +354,7 @@ def cca_infer(outputs, batch, cfg):
 
 from vmrframe_tpu.data.cca_batcher import CCABatcher  # noqa: E402
 
-register_model("CCA", loss_fn=cca_loss, infer_fn=cca_infer, batcher_cls=CCABatcher)(CCA)
+# optimizer_impl: round-4 same-session on-chip A/B — tree-chain AdamW 57.1
+# vs flat 62.7 ms/step at anet dims (docs/BENCH_ZOO.json CCA vs CCA_flatopt)
+register_model("CCA", loss_fn=cca_loss, infer_fn=cca_infer, batcher_cls=CCABatcher,
+               optimizer_impl="tree")(CCA)

@@ -40,6 +40,10 @@ class ModelEntry:
     # init_state to e.g. load pretrained teacher checkpoints into the state
     frozen_filter: Optional[Callable] = None  # (path_str) -> bool
     init_hook: Optional[Callable] = None  # (state, cfg, trainer) -> state
+    # measured per-family AdamW implementation hint for train.flat_optimizer
+    # "auto" (see train/optim.py::build_optimizer): "tree" routes to the
+    # optax per-leaf chain; None/"flat" to the raveled single-buffer form
+    optimizer_impl: Optional[str] = None
 
 
 def register_model(name: str, **kwargs):

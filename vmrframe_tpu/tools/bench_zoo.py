@@ -55,6 +55,31 @@ MODELS = {
                 {"model.tlen": 25, "others.cpl_shared_prefix": "eval"}),
     "CPL_sp": (f"{REF}/charades/main_i3d_cpl.json",
                {"model.tlen": 25, "others.cpl_shared_prefix": "always"}),
+    # round-4 CCA train-regression bisect: commit 89fe514's contraction
+    # scores landed after the r3 63.9 ms zoo row with only a CPU A/B; the
+    # round-4 on-chip re-measure found train 99.6 ms (eval improved).  The
+    # default is now "eval" (contraction in deterministic mode only); this
+    # twin forces the contraction into the train step to keep the
+    # regression measurable.
+    "CCA_contract": (f"{REF}/anet/CCA.yaml",
+                     {"paths.concept_name": "", "paths.com_concept": "",
+                      "model.tlen": 25,
+                      "others.cca_contraction_scores": "always"}),
+    # ...and the forced-flat twin for the flat-vs-tree A/B at CCA dims
+    # (tree is CCA's registry default after the same-session 57.1-vs-62.7 A/B)
+    "CCA_flatopt": (f"{REF}/anet/CCA.yaml",
+                    {"paths.concept_name": "", "paths.com_concept": "",
+                     "model.tlen": 25, "train.flat_optimizer": True}),
+    # round-4 AF train-regression bisect: the only r2->r3 change on the AF
+    # train path is flat_adamw becoming the default (0196840); this twin
+    # runs the optax tree chain for the on-chip A/B
+    "ActionFormer_treeopt": (f"{REF}/charades/ActionFormer.yaml",
+                             {"train.flat_optimizer": False}),
+    # ...and the masks-at-init flat_adamw forced on, to locate the auto
+    # crossover (how much of the 2.9 ms was the per-step mask rebuild vs
+    # the intrinsic ravel/unravel traffic)
+    "ActionFormer_flatfix": (f"{REF}/charades/ActionFormer.yaml",
+                             {"train.flat_optimizer": True}),
     # long-video regime: T=2304, window 19 — the banded Pallas kernel
     # auto-enables (vs the ...XLA twin which forces the band-mask path)
     "ActionFormerLong": (f"{REPO}/configs/tacos_actionformer_long.yaml", {}),

@@ -80,7 +80,21 @@ def flat_adamw(cfg, num_train_steps: int, frozen_filter=None) -> optax.GradientT
     Per-leaf semantics preserved: the reference's no-decay name list via a
     flat 0/1 decay mask, frozen params (requires_grad=False equivalent) get
     zero updates AND zero moments, and frozen gradients still count toward
-    the clip norm (the tree chain clips before partitioning too)."""
+    the clip norm (the tree chain clips before partitioning too).
+
+    The 0/1 masks are a function of the param STRUCTURE only, so they are
+    built ONCE in ``init`` and carried in the optimizer state as uint8.
+    Measured caveat (round-4 on-chip A/B, docs/BENCH_ZOO.json
+    ActionFormer_flatfix): this recovered ~nothing vs the per-update
+    rebuild — XLA was already constant-folding the mask construction.  The
+    REAL O(params) per-step cost of the flat design is the grad-ravel
+    concat, the param-ravel for weight decay, and the update unravel
+    slices (pure HBM traffic), which is why ``build_optimizer``'s "auto"
+    hands big trees to ``tree_adamw``.  The masks-at-init form is kept as
+    the cleaner expression.  State layout vs round-3 flat checkpoints:
+    adds the ``decay``/``keep`` leaves (resume from round-3 optimizer
+    state needs ``train.flat_optimizer: true`` semantics of that round —
+    re-init or a fresh run)."""
     import jax.numpy as jnp
     from jax.flatten_util import ravel_pytree
 
@@ -91,7 +105,7 @@ def flat_adamw(cfg, num_train_steps: int, frozen_filter=None) -> optax.GradientT
     def _flat_masks(params):
         decay = _decay_mask(params)
         ones = jax.tree_util.tree_map(
-            lambda m, p: jnp.full(p.shape, 1.0 if m else 0.0, jnp.float32),
+            lambda m, p: jnp.full(p.shape, 1 if m else 0, jnp.uint8),
             decay, params)
         decay_flat = ravel_pytree(ones)[0]
         if frozen_filter is None:
@@ -99,26 +113,33 @@ def flat_adamw(cfg, num_train_steps: int, frozen_filter=None) -> optax.GradientT
         else:
             frozen = _frozen_mask_tree(params, frozen_filter)
             keep = jax.tree_util.tree_map(
-                lambda m, p: jnp.full(p.shape, 0.0 if m else 1.0, jnp.float32),
+                lambda m, p: jnp.full(p.shape, 0 if m else 1, jnp.uint8),
                 frozen, params)
             keep_flat = ravel_pytree(keep)[0]
         return decay_flat, keep_flat
 
     def init(params):
         flat, _ = ravel_pytree(params)
+        decay_flat, keep_flat = _flat_masks(params)
         # mu and nu must be DISTINCT buffers: the train step donates the
         # whole state, and aliased leaves trip "donate the same buffer
-        # twice" at execute time
-        return {"count": jnp.zeros([], jnp.int32),
-                "mu": jnp.zeros_like(flat, dtype=jnp.float32),
-                "nu": jnp.zeros_like(flat, dtype=jnp.float32)}
+        # twice" at execute time.  decay/keep pass through update unchanged
+        # (donated input aliases straight to output).
+        state = {"count": jnp.zeros([], jnp.int32),
+                 "mu": jnp.zeros_like(flat, dtype=jnp.float32),
+                 "nu": jnp.zeros_like(flat, dtype=jnp.float32),
+                 "decay": decay_flat}
+        if keep_flat is not None:
+            state["keep"] = keep_flat
+        return state
 
     def update(grads, state, params=None):
         assert params is not None, "flat_adamw needs params (weight decay)"
         gflat, unravel = ravel_pytree(grads)
         gflat = gflat.astype(jnp.float32)
         pflat, _ = ravel_pytree(params)
-        decay_flat, keep_flat = _flat_masks(params)
+        decay_flat = state["decay"].astype(jnp.float32)
+        keep_flat = state["keep"].astype(jnp.float32) if "keep" in state else None
 
         # optax.clip_by_global_norm semantics (norm over ALL grads,
         # frozen included — matches clip-before-partition in the tree path)
@@ -138,7 +159,10 @@ def flat_adamw(cfg, num_train_steps: int, frozen_filter=None) -> optax.GradientT
                      + wd * decay_flat * pflat.astype(jnp.float32))
         if keep_flat is not None:
             upd = upd * keep_flat
-        return unravel(upd), {"count": count, "mu": mu, "nu": nu}
+        new_state = {"count": count, "mu": mu, "nu": nu, "decay": state["decay"]}
+        if "keep" in state:
+            new_state["keep"] = state["keep"]
+        return unravel(upd), new_state
 
     return optax.GradientTransformation(init, update)
 
@@ -167,18 +191,28 @@ def tree_adamw(cfg, num_train_steps: int, frozen_filter=None) -> optax.GradientT
     return optax.chain(optax.clip_by_global_norm(cfg.train.clip_norm), adamw)
 
 
-def build_optimizer(cfg, num_train_steps: int, frozen_filter=None) -> optax.GradientTransformation:
+def build_optimizer(cfg, num_train_steps: int, frozen_filter=None,
+                    impl_hint=None) -> optax.GradientTransformation:
     """``frozen_filter('path/to/param') -> True`` pins that param (zero
     updates) — the equivalent of the reference's requires_grad=False teacher
     freezing (e.g. OneTeacher_SoftLabel.py:42-44).
 
-    ``train.flat_optimizer`` (default on) selects the raveled single-buffer
-    implementation; set it false for the optax tree chain (bit-identical
-    optimizer-state layout with older checkpoints)."""
+    ``train.flat_optimizer``: true forces the raveled single-buffer
+    implementation, false the optax tree chain; the default "auto" follows
+    ``impl_hint`` (a per-family registry annotation) and otherwise flat.
+    The hint is MEASURED, not derived — round-4 same-session on-chip A/Bs
+    (docs/BENCH_ZOO.json): tree wins for the big-leaf families —
+    ActionFormer (11.8 → 8.8 ms/step, 27.6M params), BAN (26.8 → 23.5,
+    33.9M), CCA (62.7 → 57.1, 59.1M) — where the flat ravel/unravel
+    concats are pure extra HBM traffic dwarfing per-leaf dispatch; flat
+    keeps SeqPAN/CPL (hundreds of tiny leaves → per-leaf kernel spam is
+    the larger cost, r3 measurement)."""
     if hasattr(cfg.train, "get"):
-        flat = cfg.train.get("flat_optimizer", True)
+        flat = cfg.train.get("flat_optimizer", "auto")
     else:  # plain-namespace cfgs (tests)
-        flat = getattr(cfg.train, "flat_optimizer", True)
+        flat = getattr(cfg.train, "flat_optimizer", "auto")
+    if isinstance(flat, str) and flat.lower() == "auto":
+        flat = impl_hint != "tree"
     if bool(flat):
         return flat_adamw(cfg, num_train_steps, frozen_filter)
     return tree_adamw(cfg, num_train_steps, frozen_filter)

@@ -86,7 +86,8 @@ class Trainer:
         self.model = self.entry.model_cls(cfg=cfg, derived=derived, word_vectors=word_vectors)
         self.mesh = mesh or make_mesh()
         self.tx = build_optimizer(cfg, max(1, derived.num_train_steps),
-                                  frozen_filter=self.entry.frozen_filter)
+                                  frozen_filter=self.entry.frozen_filter,
+                                  impl_hint=getattr(self.entry, "optimizer_impl", None))
         # mixed precision: params stay f32; forward runs in compute_dtype
         # (bf16 on the MXU), losses/metrics upcast back to f32
         self.compute_dtype = {
