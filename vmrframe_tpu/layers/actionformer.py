@@ -27,6 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from vmrframe_tpu.layers.dropout import Dropout
+
 from vmrframe_tpu.layers.basic import torch_linear_init_conv
 
 
@@ -176,7 +178,7 @@ class MaskedMHCA(nn.Module):
                                      interpret=self.pallas_interpret)
             out = out_h.transpose(0, 2, 1, 3).reshape(B, Tq, self.n_embd)
             out = proj("proj")(out)
-            out = nn.Dropout(self.proj_pdrop)(out, deterministic=deterministic)
+            out = Dropout(self.proj_pdrop)(out, deterministic=deterministic)
             return out * qx_mask[..., None], qx_mask
 
         att = jnp.einsum("bhqd,bhkd->bhqk", qh * scale, kh)
@@ -200,11 +202,11 @@ class MaskedMHCA(nn.Module):
                                       rel_pe[None, :, offset], 0.0)
             att = jnp.where(band[None, None], att, neg)
         att = jax.nn.softmax(att, axis=-1)
-        att = nn.Dropout(self.attn_pdrop)(att, deterministic=deterministic)
+        att = Dropout(self.attn_pdrop)(att, deterministic=deterministic)
         out = jnp.einsum("bhqk,bhkd->bhqd", att, vh * kv_mask[:, None, :, None])
         out = out.transpose(0, 2, 1, 3).reshape(B, Tq, self.n_embd)
         out = proj("proj")(out)
-        out = nn.Dropout(self.proj_pdrop)(out, deterministic=deterministic)
+        out = Dropout(self.proj_pdrop)(out, deterministic=deterministic)
         return out * qx_mask[..., None], qx_mask
 
 
@@ -285,10 +287,10 @@ class TransformerBlock(nn.Module):
         h = nn.Dense(4 * self.n_embd, kernel_init=torch_linear_init_conv(self.n_embd),
                      bias_init=nn.initializers.zeros, dtype=h.dtype, name="mlp_fc1")(h)
         h = jax.nn.gelu(h, approximate=False)
-        h = nn.Dropout(self.proj_pdrop)(h, deterministic=deterministic)
+        h = Dropout(self.proj_pdrop)(h, deterministic=deterministic)
         h = nn.Dense(self.n_embd, kernel_init=torch_linear_init_conv(4 * self.n_embd),
                      bias_init=nn.initializers.zeros, dtype=h.dtype, name="mlp_fc2")(h)
-        h = nn.Dropout(self.proj_pdrop)(h, deterministic=deterministic)
+        h = Dropout(self.proj_pdrop)(h, deterministic=deterministic)
         h = h * mf
         if self.path_pdrop > 0.0:
             out = out + AffineDropPath(self.n_embd, self.path_pdrop, name="drop_path_mlp")(

@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from vmrframe_tpu.layers.dropout import Dropout
+
 from vmrframe_tpu.layers.basic import Conv1D, LayerNorm
 from vmrframe_tpu.ops.masking import attention_mask_2d, mask_logits
 
@@ -172,7 +174,7 @@ class MultiHeadAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
-        drop = lambda t: nn.Dropout(self.droprate)(t, deterministic=deterministic)
+        drop = lambda t: Dropout(self.droprate)(t, deterministic=deterministic)
         head_size = self.dim // self.num_heads
         output = LayerNorm(name="layer_norm1")(x)
         output = drop(output)
@@ -242,7 +244,7 @@ class DualMultiAttention(nn.Module):
     def __call__(self, from_tensor, to_tensor, from_mask, to_mask, deterministic: bool = True):
         B, L, D = from_tensor.shape
         head_size = self.dim // self.num_heads
-        drop = lambda t: nn.Dropout(self.droprate)(t, deterministic=deterministic)
+        drop = lambda t: Dropout(self.droprate)(t, deterministic=deterministic)
 
         Din = from_tensor.shape[-1]
         q_kb = ProjParams(self.dim, name="query")(Din)
@@ -358,7 +360,7 @@ class DualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, from_tensor, to_tensor, from_mask, to_mask, deterministic: bool = True):
-        drop = lambda t: nn.Dropout(self.droprate)(t, deterministic=deterministic)
+        drop = lambda t: Dropout(self.droprate)(t, deterministic=deterministic)
         outputs = LayerNorm(name="layer_norm_1")(from_tensor)
         to_norm = LayerNorm(name="layer_norm_t")(to_tensor)
         outputs = drop(outputs)
@@ -457,7 +459,7 @@ class CQAttention(nn.Module):
         w4C = self.param("w4C", nn.initializers.xavier_uniform(), (self.dim, 1))
         w4Q = self.param("w4Q", nn.initializers.xavier_uniform(), (self.dim, 1))
         w4mlu = self.param("w4mlu", nn.initializers.xavier_uniform(), (1, 1, self.dim))
-        drop = lambda t: nn.Dropout(self.droprate)(t, deterministic=deterministic)
+        drop = lambda t: Dropout(self.droprate)(t, deterministic=deterministic)
 
         ctx = drop(context)
         qry = drop(query)

@@ -25,6 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from vmrframe_tpu.layers.dropout import Dropout
+
 from vmrframe_tpu.ops.precision import biased
 
 
@@ -142,7 +144,17 @@ class WordEmbedding(nn.Module):
         pad = jnp.zeros((1, self.word_dim), dtype=glove.dtype)
         table = jnp.concatenate([pad, unk.astype(glove.dtype), glove], axis=0)
         emb = embedding_lookup(table, word_ids)
-        return nn.Dropout(self.droprate)(emb, deterministic=deterministic)
+        return Dropout(self.droprate)(emb, deterministic=deterministic)
+
+
+def _char_conv_impl() -> str:
+    """Formulation knob for CharacterEmbedding's four merged convs:
+    ``auto`` (default) = "windows" in deterministic mode, "conv" in train —
+    each measured fastest for its direction (see the comment at the use
+    site); ``windows``/``conv`` force one for A/B harnesses."""
+    import os
+
+    return os.environ.get("VMR_CHAR_CONV", "auto")
 
 
 class _ConvKParams(nn.Module):
@@ -191,7 +203,7 @@ class CharacterEmbedding(nn.Module):
         emb = embedding_lookup(table, flat_ids)  # (B*W, C, char_dim)
         # padding_idx=0 semantics: zero out PAD rows (grad-free by masking)
         emb = emb * (flat_ids != 0).astype(emb.dtype)[..., None]
-        emb = nn.Dropout(self.droprate)(emb, deterministic=deterministic)
+        emb = Dropout(self.droprate)(emb, deterministic=deterministic)
 
         # All four width-k convs as ONE windows matmul.  Device traces
         # (docs/TRACE_EVAL_B128.json) showed the separate conv lowerings plus
@@ -209,16 +221,42 @@ class CharacterEmbedding(nn.Module):
         for k, ch in zip(self.kernels, self.channels):
             kernel = _ConvKParams(k, self.char_dim, ch, name=f"conv_k{k}")()
             kbs.append(kernel)
-        W_all = jnp.concatenate(
-            [jnp.concatenate(
-                [kern, jnp.zeros((K - k, self.char_dim, kern.shape[-1]), kern.dtype)],
-                axis=0).reshape(K * self.char_dim, -1)
-             for (kern, _), k in zip(kbs, self.kernels)], axis=1)
         b_all = jnp.concatenate([b for _, b in kbs], axis=0)
-
         emb_p = jnp.pad(emb, ((0, 0), (0, K - 1), (0, 0)))
-        windows = jnp.concatenate([emb_p[:, s : s + C] for s in range(K)], axis=-1)
-        z = biased(jnp.einsum("btd,dc->btc", windows, W_all.astype(emb.dtype)), b_all)
+
+        # Two exact formulations of the same (s, d) contraction, picked per
+        # mode because their BACKWARDS differ by 4x in bytes:
+        # - "windows": stack the K shifted views and run one (C, K*D) @
+        #   (K*D, sum_ch) matmul.  Fastest FORWARD (round-3 trace: the
+        #   separate conv lowerings + their layout copies cost ~80 us of the
+        #   945 us eval step), but its backward materializes d(windows) —
+        #   a K x duplicated (B*W, C, K*D) tensor whose split-and-add vjp
+        #   alone measured 151 us/step (docs/TRACE_SEQPAN_TRAIN.json
+        #   fusion.6013, 1.3 TB/s — bandwidth-bound on pure duplication).
+        # - "conv": ONE width-K conv whose merged kernel zero-masks the taps
+        #   s >= k of each width-k block.  The conv vjp is a transposed conv
+        #   straight into d(emb) — no duplicated intermediate.
+        impl = _char_conv_impl()
+        if impl == "auto":
+            impl = "windows" if deterministic else "conv"
+        if impl == "conv":
+            W_conv = jnp.concatenate(
+                [jnp.concatenate(
+                    [kern, jnp.zeros((K - k, self.char_dim, kern.shape[-1]), kern.dtype)],
+                    axis=0)
+                 for (kern, _), k in zip(kbs, self.kernels)], axis=2)  # (K, D, sum_ch)
+            z = jax.lax.conv_general_dilated(
+                emb_p, W_conv.astype(emb.dtype), window_strides=(1,),
+                padding="VALID", dimension_numbers=("NWC", "WIO", "NWC"),
+            ) + b_all.astype(emb.dtype)
+        else:
+            W_all = jnp.concatenate(
+                [jnp.concatenate(
+                    [kern, jnp.zeros((K - k, self.char_dim, kern.shape[-1]), kern.dtype)],
+                    axis=0).reshape(K * self.char_dim, -1)
+                 for (kern, _), k in zip(kbs, self.kernels)], axis=1)
+            windows = jnp.concatenate([emb_p[:, s : s + C] for s in range(K)], axis=-1)
+            z = biased(jnp.einsum("btd,dc->btc", windows, W_all.astype(emb.dtype)), b_all)
 
         # static per-channel validity: conv k's max runs over t <= C-k
         valid = np.zeros((C, sum(self.channels)), dtype=bool)
@@ -285,7 +323,7 @@ class VisualProjection(nn.Module):
 
     @nn.compact
     def __call__(self, visual_features, deterministic: bool = True):
-        x = nn.Dropout(self.droprate)(visual_features, deterministic=deterministic)
+        x = Dropout(self.droprate)(visual_features, deterministic=deterministic)
         x = Conv1D(self.dim, name="video_conv1d")(x)
         return LayerNorm(name="v_layer_norm")(x)
 
@@ -317,7 +355,7 @@ class DepthwiseSeparableConvBlock(nn.Module):
             )(output)
             output = Conv1D(self.dim, name=f"pointwise_{idx}")(output)
             output = jax.nn.relu(output)
-            output = nn.Dropout(self.droprate)(output, deterministic=deterministic)
+            output = Dropout(self.droprate)(output, deterministic=deterministic)
             output = output + residual
         return output
 

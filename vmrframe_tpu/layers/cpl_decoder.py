@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from vmrframe_tpu.layers.dropout import Dropout
+
 from vmrframe_tpu.layers.basic import torch_linear_init
 from vmrframe_tpu.ops.precision import biased
 
@@ -97,7 +99,7 @@ class GaussMultiheadAttention(nn.Module):
                 else:
                     wp = w[:, None] * gw[:, :, None, None, :]  # (B,P,H,Tq,Tk)
                     wp = wp / jnp.sum(wp, axis=-1, keepdims=True)
-                    wp = nn.Dropout(self.dropout)(wp, deterministic=False)
+                    wp = Dropout(self.dropout)(wp, deterministic=False)
                     out = jnp.einsum("bphqk,bkhd->bpqhd", wp, v)
             else:
                 if deterministic:  # identical across P: project at B, tile once
@@ -105,7 +107,7 @@ class GaussMultiheadAttention(nn.Module):
                     o = biased(o.reshape(B, Tq, E) @ out_w, out_b)
                     return jnp.repeat(o, P, axis=0), jnp.mean(w, axis=1)
                 wp = jnp.broadcast_to(w[:, None], (B, P, H, Tq, Tk))
-                wp = nn.Dropout(self.dropout)(wp, deterministic=False)
+                wp = Dropout(self.dropout)(wp, deterministic=False)
                 out = jnp.einsum("bphqk,bkhd->bpqhd", wp, v)
             out = out.reshape(B * P, Tq, E)
             out = biased(out @ out_w, out_b)
@@ -115,7 +117,7 @@ class GaussMultiheadAttention(nn.Module):
             gw = gauss_weight[:, None, None, :]
             w = w * (gw + 1e-10)
             w = w / jnp.sum(w, axis=-1, keepdims=True)
-        w = nn.Dropout(self.dropout)(w, deterministic=deterministic)
+        w = Dropout(self.dropout)(w, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(B, Tq, E)
 
         out = biased(out @ out_w, out_b)
@@ -140,7 +142,7 @@ class TransformerDecoderLayer(nn.Module):
                  self_attn_mask=None, src_gauss_weight=None, tgt_gauss_weight=None,
                  deterministic: bool = True, n_props: int = 1):
         D = self.d_model
-        drop = lambda t: nn.Dropout(self.dropout)(t, deterministic=deterministic)
+        drop = lambda t: Dropout(self.dropout)(t, deterministic=deterministic)
 
         res = x
         x, weight = GaussMultiheadAttention(D, self.num_heads, self.dropout, name="self_attn")(

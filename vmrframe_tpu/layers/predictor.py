@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from vmrframe_tpu.layers.dropout import Dropout
+
 from vmrframe_tpu.layers.basic import Conv1D, DepthwiseSeparableConvBlock, LayerNorm, PositionalEmbedding
 from vmrframe_tpu.layers.attention import head_attention
 from vmrframe_tpu.ops.masking import attention_mask_2d
@@ -40,7 +42,7 @@ class TopSelfAttention(nn.Module):
                                        ProjParams(self.dim, name="key")(D),
                                        ProjParams(self.dim, name="value")(D)])
         attn_mask = attention_mask_2d(mask, mask)
-        drop = lambda t: nn.Dropout(self.droprate)(t, deterministic=deterministic)
+        drop = lambda t: Dropout(self.droprate)(t, deterministic=deterministic)
         out = head_attention(q_o, k_o, v_o, (1.0 - attn_mask) * -1e30,
                              1.0 / math.sqrt(head_size), drop, self.num_heads)
         return Conv1D(self.dim, name="out_proj")(out)
@@ -57,7 +59,7 @@ class FeatureEncoderPredict(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
-        drop = lambda t: nn.Dropout(self.droprate)(t, deterministic=deterministic)
+        drop = lambda t: Dropout(self.droprate)(t, deterministic=deterministic)
         features = x + PositionalEmbedding(self.max_pos_len, name="pos_embedding")(x)
         features = DepthwiseSeparableConvBlock(self.dim, 7, 4, self.droprate, name="conv_block")(
             features, deterministic

@@ -42,6 +42,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from vmrframe_tpu.layers.dropout import Dropout
+
 from vmrframe_tpu.data.labels import mask2d as build_mask2d
 from vmrframe_tpu.layers.recurrent import LSTM, masked_mean
 from vmrframe_tpu.ops.windowed import all_windowed_maxes
@@ -106,7 +108,7 @@ class BANCQAttention(nn.Module):
         w4Q = self.param("w4Q", nn.initializers.xavier_uniform(), (self.d_model, 1))
         w4mlu = self.param("w4mlu", nn.initializers.xavier_uniform(), (1, 1, self.d_model))
         bias = self.param("bias", nn.initializers.zeros, (1,))
-        drop = lambda t: nn.Dropout(self.dropout)(t, deterministic=deterministic)
+        drop = lambda t: Dropout(self.dropout)(t, deterministic=deterministic)
         Cd, Qd = drop(C), drop(Q)
         S = jnp.matmul(Cd, w4C) + jnp.matmul(Qd, w4Q).transpose(0, 2, 1) + jnp.einsum(
             "bld,bmd->blm", Cd * w4mlu, Qd
@@ -137,7 +139,7 @@ class MLPBlock(nn.Module):
         kernel = self.param("kernel", torch_linear_init, (in_dim, self.out_dim))
         b = self.param("bias", torch_bias_init_for(in_dim), (self.out_dim,))
         y = jax.nn.relu(biased(x @ kernel, b))
-        return nn.Dropout(self.droprate)(y, deterministic=deterministic)
+        return Dropout(self.droprate)(y, deterministic=deterministic)
 
 
 class Linear(nn.Module):
@@ -360,7 +362,7 @@ class BAN(nn.Module):
             zc = jnp.concatenate(
                 [zc, jnp.broadcast_to(b.astype(zc.dtype), (B_, 1, fuse))],
                 axis=1)  # + sentinel
-            map_cells = nn.Dropout(0.1)(jax.nn.relu(zc), deterministic=deterministic)
+            map_cells = Dropout(0.1)(jax.nn.relu(zc), deterministic=deterministic)
             tmap_all = Linear(1, name="predictor_out")(
                 MLPBlock(fuse, 0.1, name="predictor_hidden")(map_cells, deterministic)
             ).squeeze(-1)  # (B, K+1)
@@ -390,7 +392,7 @@ class BAN(nn.Module):
                        + jnp.einsum("bijf,fg->bijg", map2d_c, W3), b)
             z = jnp.where(mask2d[None, :, :, None], z, b.astype(z.dtype))
             map2d = jax.nn.relu(z)
-            map2d = nn.Dropout(0.1)(map2d, deterministic=deterministic)
+            map2d = Dropout(0.1)(map2d, deterministic=deterministic)
 
             tmap = Linear(1, name="predictor_out")(
                 MLPBlock(fuse, 0.1, name="predictor_hidden")(map2d, deterministic)).squeeze(-1)

@@ -32,6 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from vmrframe_tpu.layers.dropout import Dropout
+
 from vmrframe_tpu.data.labels import mask2d as dense_mask2d
 from vmrframe_tpu.layers.recurrent import LSTM
 from vmrframe_tpu.models.ban import Linear
@@ -124,7 +126,7 @@ class FuseAttention(nn.Module):
         k = Linear(self.hidden_dim, name="key")(concept)  # (A, C)
         v = Linear(self.hidden_dim, name="value")(concept)
         scores = jax.nn.softmax(jnp.matmul(q, k.T) * 10.0, axis=1)
-        scores = nn.Dropout(0.5)(scores, deterministic=deterministic)
+        scores = Dropout(0.5)(scores, deterministic=deterministic)
         out = jnp.matmul(scores, v)
         return l2norm(out + feat)
 
@@ -143,7 +145,7 @@ class TransformerLayer(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         B, S, D = x.shape
-        drop = lambda t: nn.Dropout(self.dropout)(t, deterministic=deterministic)
+        drop = lambda t: Dropout(self.dropout)(t, deterministic=deterministic)
         h = D // self.nhead
         q = Linear(D, name="q")(x).reshape(B, S, self.nhead, h).transpose(0, 2, 1, 3)
         k = Linear(D, name="k")(x).reshape(B, S, self.nhead, h).transpose(0, 2, 1, 3)
@@ -187,7 +189,7 @@ class RefBatchTransformerLayer(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         B, C, E = x.shape
         H, hd = self.nhead, E // self.nhead
-        drop = lambda t: nn.Dropout(self.dropout)(t, deterministic=deterministic)
+        drop = lambda t: Dropout(self.dropout)(t, deterministic=deterministic)
         w = self.param("in_proj_weight", nn.initializers.xavier_uniform(), (3 * E, E))
         b = self.param("in_proj_bias", nn.initializers.zeros, (3 * E,))
         q = (x @ w[:E].T + b[:E]) * (hd ** -0.5)

@@ -24,6 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from vmrframe_tpu.layers.dropout import Dropout
+
 from vmrframe_tpu.layers import VisualProjection
 from vmrframe_tpu.layers.basic import WordEmbedding, torch_linear_init
 from vmrframe_tpu.layers.cpl_decoder import TransformerDecoder
@@ -73,7 +75,7 @@ class CPL(nn.Module):
         words_feat = jnp.concatenate(
             [jnp.broadcast_to(start_vec[None, None].astype(words_feat.dtype),
                               (B, 1, m.word_dim)), words_feat], axis=1)
-        words_feat = nn.Dropout(0.1)(words_feat, deterministic=deterministic)
+        words_feat = Dropout(0.1)(words_feat, deterministic=deterministic)
         wf_kernel = self.param("word_fc_kernel", torch_linear_init, (m.word_dim, dim))
         wf_bias = self.param("word_fc_bias", nn.initializers.zeros, (dim,))
         tfeat_long = biased(words_feat @ wf_kernel, wf_bias)  # (B, T+1, dim)

@@ -89,6 +89,14 @@ MODELS = {
     "BANLong": (f"{REPO}/configs/tacos_ban_long.yaml", {}),
     # throughput variant: the compact map leaves HBM headroom for 4x batch
     "BANLong_B32": (f"{REPO}/configs/tacos_ban_long.yaml", {"train.batch_size": 32}),
+    # round-4 dropout-bits A/B: 32 forces the flax-exact u32 masks (the
+    # pre-round-4 behavior) against the u8 default (layers/dropout.py)
+    "SeqPAN_u32drop": (f"{REF}/charades/SeqPAN.yaml", {"train.dropout_bits": 32}),
+    "CPL_u32drop": (f"{REF}/charades/main_i3d_cpl.json",
+                    {"model.tlen": 25, "train.dropout_bits": 32}),
+    "CCA_u32drop": (f"{REF}/anet/CCA.yaml",
+                    {"paths.concept_name": "", "paths.com_concept": "",
+                     "model.tlen": 25, "train.dropout_bits": 32}),
     # mixed-precision training variants (train.compute_dtype)
     "SeqPAN_bf16": (f"{REF}/charades/SeqPAN.yaml",
                     {"train.compute_dtype": "bfloat16"}),

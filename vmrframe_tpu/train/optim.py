@@ -120,15 +120,14 @@ def flat_adamw(cfg, num_train_steps: int, frozen_filter=None) -> optax.GradientT
 
     def init(params):
         flat, _ = ravel_pytree(params)
-        decay_flat, keep_flat = _flat_masks(params)
+        _, keep_flat = _flat_masks(params)
         # mu and nu must be DISTINCT buffers: the train step donates the
         # whole state, and aliased leaves trip "donate the same buffer
-        # twice" at execute time.  decay/keep pass through update unchanged
+        # twice" at execute time.  keep passes through update unchanged
         # (donated input aliases straight to output).
         state = {"count": jnp.zeros([], jnp.int32),
                  "mu": jnp.zeros_like(flat, dtype=jnp.float32),
-                 "nu": jnp.zeros_like(flat, dtype=jnp.float32),
-                 "decay": decay_flat}
+                 "nu": jnp.zeros_like(flat, dtype=jnp.float32)}
         if keep_flat is not None:
             state["keep"] = keep_flat
         return state
@@ -137,8 +136,6 @@ def flat_adamw(cfg, num_train_steps: int, frozen_filter=None) -> optax.GradientT
         assert params is not None, "flat_adamw needs params (weight decay)"
         gflat, unravel = ravel_pytree(grads)
         gflat = gflat.astype(jnp.float32)
-        pflat, _ = ravel_pytree(params)
-        decay_flat = state["decay"].astype(jnp.float32)
         keep_flat = state["keep"].astype(jnp.float32) if "keep" in state else None
 
         # optax.clip_by_global_norm semantics (norm over ALL grads,
@@ -155,14 +152,30 @@ def flat_adamw(cfg, num_train_steps: int, frozen_filter=None) -> optax.GradientT
         mu_hat = mu / (1.0 - b1 ** c)
         nu_hat = nu / (1.0 - b2 ** c)
         lr = schedule(count - 1)  # optax scale_by_schedule: pre-increment step
-        upd = -lr * (mu_hat / (jnp.sqrt(nu_hat) + eps)
-                     + wd * decay_flat * pflat.astype(jnp.float32))
+        adam = -lr * (mu_hat / (jnp.sqrt(nu_hat) + eps))
         if keep_flat is not None:
-            upd = upd * keep_flat
-        new_state = {"count": count, "mu": mu, "nu": nu, "decay": state["decay"]}
+            adam = adam * keep_flat
+        # Weight decay happens PER LEAF after the unravel, not on a raveled
+        # param copy: the per-step ravel_pytree(params) concat was pure HBM
+        # traffic (measured 78 us/step at SeqPAN dims, the #4 line of
+        # docs/TRACE_SEQPAN_TRAIN.json), while ``u - lr*wd*p`` fuses into
+        # apply_updates' existing per-leaf add — same kernel count, one
+        # whole-params concat and the flat decay-mask buffer both gone.
+        # Decay/frozen per leaf are STATIC functions of the tree structure
+        # (the whole leaf is decayed or not — the reference groups by torch
+        # parameter name), so no mask buffers are needed at all.
+        upd = unravel(adam)
+        decay_tree = _decay_mask(params)
+        frozen_tree = (_frozen_mask_tree(params, frozen_filter)
+                       if frozen_filter is not None else
+                       jax.tree_util.tree_map(lambda _: False, params))
+        upd = jax.tree_util.tree_map(
+            lambda u, p, d, f: u - (lr * wd * p.astype(u.dtype)) if (d and not f) else u,
+            upd, params, decay_tree, frozen_tree)
+        new_state = {"count": count, "mu": mu, "nu": nu}
         if "keep" in state:
             new_state["keep"] = state["keep"]
-        return unravel(upd), new_state
+        return upd, new_state
 
     return optax.GradientTransformation(init, update)
 

@@ -93,6 +93,12 @@ class Trainer:
         self.compute_dtype = {
             "float32": jnp.float32, "bfloat16": jnp.bfloat16,
         }[cfg.train.get("compute_dtype", "float32")]
+        # dropout mask-bit width (layers/dropout.py): 8 draws one byte per
+        # element (4x less raw-bit HBM traffic, drop rate quantized to
+        # 1/256), 32 reproduces flax nn.Dropout bit-for-bit.  Read at trace
+        # time; set before any step of THIS trainer traces.
+        from vmrframe_tpu.layers.dropout import set_default_dropout_bits
+        set_default_dropout_bits(int(cfg.train.get("dropout_bits", 8)))
 
         self._repl = NamedSharding(self.mesh, P())
         self._batch_shard = NamedSharding(self.mesh, P("data"))
