@@ -245,10 +245,10 @@ class CharacterEmbedding(nn.Module):
                     [kern, jnp.zeros((K - k, self.char_dim, kern.shape[-1]), kern.dtype)],
                     axis=0)
                  for (kern, _), k in zip(kbs, self.kernels)], axis=2)  # (K, D, sum_ch)
-            z = jax.lax.conv_general_dilated(
+            z = biased(jax.lax.conv_general_dilated(
                 emb_p, W_conv.astype(emb.dtype), window_strides=(1,),
                 padding="VALID", dimension_numbers=("NWC", "WIO", "NWC"),
-            ) + b_all.astype(emb.dtype)
+            ), b_all)
         else:
             W_all = jnp.concatenate(
                 [jnp.concatenate(

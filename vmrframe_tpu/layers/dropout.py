@@ -24,26 +24,48 @@ same rng fold path — the class name keeps flax's auto-naming identical), so
 the default path is not a reimplementation risk.  Selection: the env override
 ``VMR_DROPOUT_BITS`` (A/B harnesses) beats ``train.dropout_bits`` (wired by
 ``Trainer.__init__`` via :func:`set_default_dropout_bits`) beats the built-in
-default of 8 — on-chip A/B at each family's shipped config, docs/BENCH_ZOO
-rows SeqPAN/CPL/CCA (round 4): the u8 masks are a pure byte-traffic win on
-every dropout-heavy train step.
+default of 8.
+
+Measured (same-session on-chip A/B at each family's shipped config,
+docs/BENCH_ZOO.json rows stamped ``measured_round: 5`` — the ``*_u32drop``
+twins force the flax-exact u32 masks): train ms/step u8 vs u32 —
+SeqPAN 5.69 vs 6.16 (+8.3%), CPL 21.31 vs 22.75 (+6.8%),
+CCA 56.94 vs 57.11 (parity; CCA's step is dominated by its 536 GFLOPs, the
+mask bytes are a rounding error there).  Eval is unaffected (deterministic).
 """
 
 from __future__ import annotations
 
+import logging
 import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 _DEFAULT_BITS = 8
+_TRACED_WITH: Optional[int] = None  # bits value in effect at the first trace
 
 
 def set_default_dropout_bits(bits: int) -> None:
-    """Process-wide default (read at TRACE time); ``VMR_DROPOUT_BITS`` wins."""
+    """Process-wide default (read at TRACE time); ``VMR_DROPOUT_BITS`` wins.
+
+    The contract is "set before this trainer traces": the value is read when
+    a Dropout module is traced, so a second Trainer with a different
+    ``train.dropout_bits`` in the same process would retroactively disagree
+    with the first one's already-compiled functions.  We can't fix a module
+    global's scoping, but we can fail loud instead of silent: changing the
+    value after any Dropout has traced logs a warning naming both values."""
     global _DEFAULT_BITS
-    _DEFAULT_BITS = int(bits)
+    bits = int(bits)
+    if _TRACED_WITH is not None and bits != _DEFAULT_BITS:
+        logging.getLogger(__name__).warning(
+            "set_default_dropout_bits(%d) called after a Dropout traced with "
+            "bits=%d — already-compiled functions keep the old width; only "
+            "future traces see the new value. Use one dropout_bits per "
+            "process, or retrace everything.", bits, _TRACED_WITH)
+    _DEFAULT_BITS = bits
 
 
 def dropout_bits() -> int:
@@ -53,13 +75,24 @@ def dropout_bits() -> int:
 
 class Dropout(nn.Module):
     """Drop-in for ``nn.Dropout`` at this repo's call sites (full-shape mask,
-    ``dropout`` rng collection)."""
+    ``dropout`` rng collection).
+
+    ``deterministic`` must be passed explicitly (flax ``nn.Dropout`` raises
+    when it is unspecified; a silent default of True would disable dropout
+    at any call site that forgot it)."""
 
     rate: float
     rng_collection: str = "dropout"
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: Optional[bool] = None):
+        if deterministic is None:
+            raise ValueError(
+                "Dropout requires an explicit `deterministic` argument "
+                "(matching flax nn.Dropout's fail-loud behavior).")
+        global _TRACED_WITH
+        if _TRACED_WITH is None:
+            _TRACED_WITH = dropout_bits()
         if self.rate == 0.0 or deterministic:
             return x
         if self.rate == 1.0:

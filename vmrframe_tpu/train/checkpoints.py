@@ -8,12 +8,15 @@ hold params, the frozen constants (GloVe), optimizer state and step — so both
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Optional
 
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
+
+logger = logging.getLogger(__name__)
 
 
 def _to_save(state, full: bool = True):
@@ -47,15 +50,48 @@ def restore_into_state(path: str, state):
     constants = jax.tree_util.tree_map(
         lambda o, n: np.asarray(n, o.dtype), state.constants, restored["constants"]
     )
+    def _cast_like(o, n):
+        return np.asarray(n, getattr(o, "dtype", None)) if hasattr(o, "dtype") else n
+
     opt_state = state.opt_state
     if restored.get("opt_state") is not None:
-        # orbax round-trips optax states as plain containers; rebuild through
-        # the live treedef so NamedTuple/custom nodes come back intact
-        target_leaves, treedef = jax.tree_util.tree_flatten(state.opt_state)
-        restored_leaves = jax.tree_util.tree_leaves(restored["opt_state"])
-        if len(restored_leaves) == len(target_leaves):
-            leaves = [np.asarray(n, getattr(o, "dtype", None)) if hasattr(o, "dtype") else n
-                      for o, n in zip(target_leaves, restored_leaves)]
-            opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+        r_opt = restored["opt_state"]
+        if isinstance(state.opt_state, dict) and isinstance(r_opt, dict):
+            # flat_adamw state is a plain dict: match by KEY, not position,
+            # so layout changes across rounds restore what still exists.
+            # Round-4 flat checkpoints carry a legacy 'decay' mask leaf that
+            # the live state no longer has — drop it with a warning instead
+            # of silently resetting moments on the leaf-count mismatch.
+            extra = sorted(set(r_opt) - set(state.opt_state))
+            missing = sorted(set(state.opt_state) - set(r_opt))
+            if extra:
+                logger.warning(
+                    "checkpoint opt_state carries legacy leaves %s absent from "
+                    "the live optimizer state — dropped on restore", extra)
+            if missing:
+                logger.warning(
+                    "checkpoint opt_state is MISSING leaves %s — optimizer "
+                    "state not restored: Adam moments and the LR-schedule "
+                    "count restart fresh (warmup restarts mid-run)", missing)
+            else:
+                opt_state = {
+                    k: jax.tree_util.tree_map(_cast_like, state.opt_state[k], r_opt[k])
+                    for k in state.opt_state
+                }
+        else:
+            # orbax round-trips optax states as plain containers; rebuild
+            # through the live treedef so NamedTuple nodes come back intact
+            target_leaves, treedef = jax.tree_util.tree_flatten(state.opt_state)
+            restored_leaves = jax.tree_util.tree_leaves(r_opt)
+            if len(restored_leaves) == len(target_leaves):
+                leaves = [_cast_like(o, n) for o, n in zip(target_leaves, restored_leaves)]
+                opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+            else:
+                logger.warning(
+                    "checkpoint opt_state has %d leaves but the live optimizer "
+                    "state has %d — optimizer state not restored: Adam moments "
+                    "and the LR-schedule count restart fresh (was the "
+                    "checkpoint written with a different train.flat_optimizer "
+                    "setting?)", len(restored_leaves), len(target_leaves))
     step = restored.get("step", state.step)
     return TrainState(params, constants, opt_state, step, state.extras)

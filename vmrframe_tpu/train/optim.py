@@ -82,19 +82,23 @@ def flat_adamw(cfg, num_train_steps: int, frozen_filter=None) -> optax.GradientT
     zero updates AND zero moments, and frozen gradients still count toward
     the clip norm (the tree chain clips before partitioning too).
 
-    The 0/1 masks are a function of the param STRUCTURE only, so they are
-    built ONCE in ``init`` and carried in the optimizer state as uint8.
-    Measured caveat (round-4 on-chip A/B, docs/BENCH_ZOO.json
-    ActionFormer_flatfix): this recovered ~nothing vs the per-update
-    rebuild — XLA was already constant-folding the mask construction.  The
-    REAL O(params) per-step cost of the flat design is the grad-ravel
-    concat, the param-ravel for weight decay, and the update unravel
-    slices (pure HBM traffic), which is why ``build_optimizer``'s "auto"
-    hands big trees to ``tree_adamw``.  The masks-at-init form is kept as
-    the cleaner expression.  State layout vs round-3 flat checkpoints:
-    adds the ``decay``/``keep`` leaves (resume from round-3 optimizer
-    state needs ``train.flat_optimizer: true`` semantics of that round —
-    re-init or a fresh run)."""
+    State layout: ``{count, mu, nu[, keep]}`` — only the frozen-param
+    ``keep`` mask (uint8, structure-static) lives in the state, and only
+    when a ``frozen_filter`` is given.  Weight decay needs no mask buffer
+    at all: decay/frozen are STATIC per-leaf properties (the reference
+    groups by torch parameter name, whole leaves), so ``update`` applies
+    ``u - lr*wd*p`` per leaf AFTER the unravel, fused into apply_updates'
+    existing add.  The earlier flat ``decay`` mask + whole-params ravel
+    were measured pure HBM traffic (78 us/step at SeqPAN dims,
+    docs/TRACE_SEQPAN_TRAIN.json) and removed; checkpoints written with
+    that layout are key-matched on restore (checkpoints.py drops the
+    legacy 'decay' leaf with a warning).  Measured caveat (round-4
+    on-chip A/B, docs/BENCH_ZOO.json ActionFormer_flatfix): masks-at-init
+    vs per-update rebuild recovered ~nothing — XLA constant-folds the
+    mask construction; the REAL O(params) per-step cost of the flat
+    design is the grad-ravel concat and the update unravel slices, which
+    is why ``build_optimizer``'s "auto" hands big trees to
+    ``tree_adamw``."""
     import jax.numpy as jnp
     from jax.flatten_util import ravel_pytree
 
