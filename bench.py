@@ -132,7 +132,7 @@ def main(batch_size=128, chunk=256, serialized=False):
     # on the tunneled chip (BASELINE.md "Timing drift"); the capability
     # minimum is the best cross-session measurement at this config, so a
     # single BENCH_r0N.json is self-explaining when the tunnel is slow.
-    CAPABILITY_MIN_QPS = 148946.5  # BENCH_ZOO round-3 session minimum, B=128
+    CAPABILITY_MIN_QPS = 158508.0  # BENCH_ZOO round-5 session minimum, B=128
     print(json.dumps({
         "metric": "seqpan_eval_queries_per_sec_per_chip",
         "value": round(qps, 1),

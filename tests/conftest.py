@@ -40,6 +40,7 @@ QUICK_MODULES = {
     "test_offline_tools", "test_native_nms", "test_feature_stores",
     "test_input_pipeline", "test_windowed", "test_model_zoo",
     "test_precision_policy", "test_checkpoint_restore", "test_dropout",
+    "test_dp_equivalence",
 }
 
 

@@ -116,6 +116,27 @@ def test_masked_mhca_banded_gate_conditions():
                           pallas_interpret=True)._use_banded_kernel(512, 512, True)
 
 
+def test_masked_mhca_banded_gate_mode_split():
+    """pallas_min_len_eval splits the auto-enable by mode (measured:
+    Pallas wins train, XLA wins eval at the shipped long config —
+    docs/BENCH_AF_LONG.json)."""
+    from vmrframe_tpu.layers.actionformer import MaskedMHCA
+
+    m = MaskedMHCA(64, 4, window_size=19, pallas_min_len=256,
+                   pallas_min_len_eval=-1, pallas_interpret=True)
+    assert m._use_banded_kernel(512, 512, False)       # train: kernel on
+    assert not m._use_banded_kernel(512, 512, True)    # eval: XLA band path
+    # None inherits the train threshold (layer-level back-compat)
+    m2 = MaskedMHCA(64, 4, window_size=19, pallas_min_len=256,
+                    pallas_interpret=True)
+    assert m2._use_banded_kernel(512, 512, True)
+    # eval threshold can also be raised independently
+    m3 = MaskedMHCA(64, 4, window_size=19, pallas_min_len=256,
+                    pallas_min_len_eval=1024, pallas_interpret=True)
+    assert not m3._use_banded_kernel(512, 512, True)
+    assert m3._use_banded_kernel(1024, 1024, True)
+
+
 def test_banded_kernel_bf16_inputs():
     """Mixed-precision path: bf16 q/k/v in, bf16 out, f32 accumulation
     inside — matches the XLA band path computed in f32 to bf16 tolerance."""

@@ -20,7 +20,7 @@ rel-PE, no attention dropout).
 from __future__ import annotations
 
 import math
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -116,15 +116,27 @@ class MaskedMHCA(nn.Module):
     # banded Pallas kernel auto-enable: used when window_size > 0, Tq >= this,
     # and the semantics are identical (no rel-PE, no live attention dropout).
     # -1 disables.  Default calibrated from docs/BENCH_KERNELS.json.
+    # The gate is MODE-AWARE: ``pallas_min_len`` governs train-mode calls,
+    # ``pallas_min_len_eval`` (None = same as train) governs deterministic
+    # ones — round-4 re-measure at the shipped long config (T=2304, w=19;
+    # docs/BENCH_AF_LONG.json) has Pallas WINNING train (13.83 vs 15.4
+    # ms/step) but LOSING eval (4.21 vs 3.92): the isolated kernel is 5x
+    # faster (BENCH_KERNELS banded_T2304) but in the eval step XLA fuses
+    # the band-mask path into the surrounding program better than it
+    # schedules the custom-call.  models/actionformer.py wires eval to -1.
     pallas_min_len: int = 512
+    pallas_min_len_eval: Optional[int] = None
     pallas_interpret: bool = False  # CPU testing escape hatch
 
     def _use_banded_kernel(self, Tq: int, Tk: int, deterministic: bool) -> bool:
-        if self.window_size <= 0 or self.use_rel_pe or self.pallas_min_len < 0:
+        min_len = self.pallas_min_len
+        if deterministic and self.pallas_min_len_eval is not None:
+            min_len = self.pallas_min_len_eval
+        if self.window_size <= 0 or self.use_rel_pe or min_len < 0:
             return False
         if not (deterministic or self.attn_pdrop == 0.0):
             return False
-        if Tq != Tk or Tq < self.pallas_min_len:
+        if Tq != Tk or Tq < min_len:
             return False
         # the kernel needs one full key window to fit the padded length
         half = self.window_size // 2
@@ -260,6 +272,7 @@ class TransformerBlock(nn.Module):
     mha_win_size: int = -1
     use_rel_pe: bool = False
     pallas_min_len: int = 512
+    pallas_min_len_eval: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
@@ -268,7 +281,8 @@ class TransformerBlock(nn.Module):
             n_qx_stride=self.n_ds_stride, n_kv_stride=self.n_ds_stride,
             attn_pdrop=self.attn_pdrop, proj_pdrop=self.proj_pdrop,
             window_size=self.mha_win_size, use_rel_pe=self.use_rel_pe,
-            pallas_min_len=self.pallas_min_len, name="attn",
+            pallas_min_len=self.pallas_min_len,
+            pallas_min_len_eval=self.pallas_min_len_eval, name="attn",
         )(ChannelLayerNorm(name="ln1")(x), mask, deterministic)
 
         if self.n_ds_stride > 1:
@@ -320,6 +334,7 @@ class ConvTransformerBackbone(nn.Module):
     use_abs_pe: bool = False
     use_rel_pe: bool = False
     pallas_min_len: int = 512
+    pallas_min_len_eval: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
@@ -344,6 +359,7 @@ class ConvTransformerBackbone(nn.Module):
                 attn_pdrop=self.attn_pdrop, proj_pdrop=self.proj_pdrop,
                 path_pdrop=self.path_pdrop, mha_win_size=self.mha_win_size[0],
                 use_rel_pe=self.use_rel_pe, pallas_min_len=self.pallas_min_len,
+                pallas_min_len_eval=self.pallas_min_len_eval,
                 name=f"stem_{idx}",
             )(x, mask, deterministic)
 
@@ -354,6 +370,7 @@ class ConvTransformerBackbone(nn.Module):
                 attn_pdrop=self.attn_pdrop, proj_pdrop=self.proj_pdrop,
                 path_pdrop=self.path_pdrop, mha_win_size=self.mha_win_size[1 + idx],
                 use_rel_pe=self.use_rel_pe, pallas_min_len=self.pallas_min_len,
+                pallas_min_len_eval=self.pallas_min_len_eval,
                 name=f"branch_{idx}",
             )(x, mask, deterministic)
             out_feats.append(x)

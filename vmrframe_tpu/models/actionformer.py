@@ -84,6 +84,10 @@ class ActionFormer(nn.Module):
                 use_abs_pe=af.use_abs_pe,
                 use_rel_pe=bool(af.get("use_rel_pe", False)),
                 pallas_min_len=int(af.get("pallas_min_len", 512)),
+                # measured mode split (docs/BENCH_AF_LONG.json): Pallas wins
+                # the train step, XLA wins the eval step at the shipped long
+                # config — eval defaults to the XLA band-mask path
+                pallas_min_len_eval=int(af.get("pallas_min_len_eval", -1)),
                 name="backbone",
             )(feats, masks, deterministic)
         if af.fpn_type == "fpn":

@@ -81,10 +81,15 @@ MODELS = {
     "ActionFormer_flatfix": (f"{REF}/charades/ActionFormer.yaml",
                              {"train.flat_optimizer": True}),
     # long-video regime: T=2304, window 19 — the banded Pallas kernel
-    # auto-enables (vs the ...XLA twin which forces the band-mask path)
+    # auto-enables with the round-5 MODE SPLIT (train: Pallas; eval: XLA —
+    # each mode's measured winner, docs/BENCH_AF_LONG.json).  Twins force
+    # the other side: ...XLA = band-mask path in both modes, ...PallasEval
+    # = the pre-round-5 both-modes-Pallas behavior.
     "ActionFormerLong": (f"{REPO}/configs/tacos_actionformer_long.yaml", {}),
     "ActionFormerLongXLA": (f"{REPO}/configs/tacos_actionformer_long.yaml",
                             {"actionformer.pallas_min_len": -1}),
+    "ActionFormerLongPallasEval": (f"{REPO}/configs/tacos_actionformer_long.yaml",
+                                   {"actionformer.pallas_min_len_eval": 512}),
     # long-video 2D-map regime: 128-grid, 2D-TAN TACoS pooling recipe
     "BANLong": (f"{REPO}/configs/tacos_ban_long.yaml", {}),
     # throughput variant: the compact map leaves HBM headroom for 4x batch
@@ -260,6 +265,35 @@ def bench_model(name: str, n_small: int, n_big: int):
     return res
 
 
+def _annotate_vs_ref(res):
+    """vs_ref columns: this row's measured qps over the per-family reference
+    bound (docs/REF_BASELINE.json ``families``, produced by
+    tools/measure_reference.py — a GENEROUS upper bound on the unmodified
+    reference on a V100-class GPU, so these multiples are lower bounds).
+    Variant rows (SeqPAN_u32drop, CPL_remat, ...) match their base family;
+    the long-video configs have no reference equivalent and stay bare."""
+    ref_path = os.path.join(REPO, "docs", "REF_BASELINE.json")
+    try:
+        with open(ref_path) as f:
+            fams = json.load(f).get("families", {})
+    except (OSError, json.JSONDecodeError):
+        return res
+    base = res.get("model", "")
+    for fam in sorted(fams, key=len, reverse=True):
+        if base == fam or base.startswith(fam + "_"):
+            fam_row = fams[fam]
+            if "Long" in base:
+                return res  # different workload dims — not comparable
+            ev_bound = fam_row.get("eval", {}).get("ref_gpu_qps_bound")
+            tr_bound = fam_row.get("train", {}).get("ref_gpu_qps_bound")
+            if ev_bound and res.get("eval_qps"):
+                res["vs_ref_eval"] = round(res["eval_qps"] / ev_bound, 2)
+            if tr_bound and res.get("train_samples_per_sec"):
+                res["vs_ref_train"] = round(res["train_samples_per_sec"] / tr_bound, 2)
+            return res
+    return res
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", default=",".join(MODELS))
@@ -285,6 +319,9 @@ def main():
                 results = json.load(f).get("results", [])
         except (json.JSONDecodeError, OSError):
             results = []
+    # refresh vs_ref on carried-over rows too (idempotent; picks up a newer
+    # REF_BASELINE.json without re-measuring the chip side)
+    results = [_annotate_vs_ref(r) for r in results]
 
     def upsert(res):
         for i, row in enumerate(results):
@@ -302,6 +339,7 @@ def main():
                    "trace": traceback.format_exc()[-1500:]}
         if args.round is not None:
             res["measured_round"] = args.round
+        res = _annotate_vs_ref(res)
         print(json.dumps({k: v for k, v in res.items() if k != "trace"}), flush=True)
         upsert(res)
         import jax

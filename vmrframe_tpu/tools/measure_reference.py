@@ -22,12 +22,19 @@ Per family and per mode (eval / train step incl. backward+AdamW+sched):
 
 1. ``cpu_ms_per_batch`` / ``cpu_qps`` — full shipped dims (the same configs
    docs/BENCH_ZOO.json measures on our side), measured on this host's CPU.
-2. ``dispatch_floor_ms`` — the same code at near-zero tensor sizes but the
-   SHIPPED batch size: pure eager-PyTorch op dispatch plus the per-sample
-   python loops some forwards contain (BAN's proposal sampler, AF's per-video
-   inference + CPU NMS).  The reference uses no CUDA graphs, so on ANY
-   accelerator its per-batch wall time is bounded below by this serial
-   host-side work — an accelerator-independent ceiling on its throughput.
+2. ``dispatch_floor_ms`` — the same code at near-zero tensor sizes: pure
+   eager-PyTorch op dispatch (plus any per-sample python the forward
+   contains).  The reference uses no CUDA graphs, so on ANY accelerator its
+   per-batch wall time is bounded below by this serial host-side work — an
+   accelerator-independent ceiling on its throughput.  Batch size for the
+   tiny measurement: B=1 for SeqPAN/CPL/CCA (their forwards are pure tensor
+   programs — op-dispatch count is batch-independent, and on an accelerator
+   the tiny-tensor CPU math would not be host work, so B=1 isolates
+   dispatch and keeps the bound GENEROUS); the SHIPPED batch size for BAN
+   (its proposal sampler is a per-sample python loop inside the forward,
+   BANlib/model.py:412-435) and ActionFormer (per-video python in
+   preprocessing/label_points, and its eval asserts batch_size==1 per
+   forward, meta_archs.py:406 — B videos genuinely cost B python passes).
 3. ``flops_per_batch`` — torch-profiler-counted matmul/conv FLOPs, giving
    the (usually non-binding) V100 f32 peak-FLOP ceiling.
 
@@ -224,7 +231,7 @@ def build_seqpan(tiny: bool):
         dim, vlen, tlen, vdim, word_dim, n_words, CC = 8, 4, 4, 8, 4, 30, 4
     else:
         dim, vlen, tlen, vdim, word_dim, n_words, CC = 128, 64, 20, 1024, 300, 8000, 16
-    B = BATCH
+    B = 1 if tiny else BATCH  # pure tensor forward: B=1 isolates dispatch
     cfgs = SimpleNamespace(
         model=SimpleNamespace(dim=dim, droprate=0.2, vlen=vlen, tlen=tlen, vdim=vdim,
                               word_dim=word_dim, char_dim=100, num_heads=8, name="SeqPAN"),
@@ -375,7 +382,9 @@ def build_cca(tiny: bool):
     rng = np.random.default_rng(55)
     tmpdir = tempfile.mkdtemp(prefix="ref_cca_")
     if tiny:
-        n_train, n_com, NUM_CLIPS, E, VDIM, T, B = 6, 4, 22, 16, 24, 8, 64
+        # B=2, not 1: the reference's scores2d.squeeze_() drops the batch
+        # dim at B=1 and infer_basic2d's dim=2 max crashes (CCA.py:368-376)
+        n_train, n_com, NUM_CLIPS, E, VDIM, T, B = 6, 4, 22, 16, 24, 8, 2
         pooling = [4, 2]
         q_hidden, lstm_layers = 2 * E, 1
     else:
@@ -487,10 +496,13 @@ def build_actionformer(tiny: bool):
     def eval_fn():
         model.eval()
         with torch.no_grad():
-            # the reference forward computes losses AND inference+NMS in one
-            # call (meta_archs.py:362-385) — that is its real eval cost
-            _, results = model(video_list)
-            ref_af.infer_ActionFormer(results, cfgs)
+            # the reference's eval preprocessing asserts batch_size == 1
+            # (meta_archs.py:406) — upstream ActionFormer infers ONE video
+            # per forward, so a B-sample eval batch costs B forwards, each
+            # computing losses AND inference+NMS (meta_archs.py:362-385)
+            for i in range(B):
+                _, results = model(video_list[i:i + 1])
+                ref_af.infer_ActionFormer(results, cfgs)
 
     def engine_step():
         model.train()
@@ -512,7 +524,7 @@ def build_cpl(tiny: bool):
     lib, model_mod = load_cpl()
     ref_engine = importlib.import_module("utils.engine")
     if tiny:
-        L, T, dim, vdim, word_dim, num_words, B = 8, 4, 16, 8, 8, 30, 128
+        L, T, dim, vdim, word_dim, num_words, B = 8, 4, 16, 8, 8, 30, 2
     else:
         # reference config/charades/main_i3d_cpl.json (tlen 25 as BENCH_ZOO)
         L, T, dim, vdim, word_dim, num_words, B = 64, 25, 128, 1024, 300, 8000, 128
