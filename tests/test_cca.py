@@ -124,3 +124,43 @@ def test_scores_contraction_matches_normalize_then_sum():
         jnp.einsum("bh,bijh->bij", jnp.square(q), jnp.square(m)), eps * eps))
     got = np.asarray(num / den)
     np.testing.assert_allclose(got, naive(q, m), atol=1e-5, rtol=1e-5)
+
+
+def test_cosine_sum_scores_custom_vjp_matches_autodiff():
+    """cosine_sum_scores' hand-derived backward (dm one fused pass, dq two
+    H-contractions) must equal autodiff of the product form — including at
+    exactly-zero map cells where the eps clamp's gradient is cut."""
+    import jax.numpy as jnp
+
+    from vmrframe_tpu.models.cca import cosine_sum_scores, l2norm
+
+    rng = np.random.default_rng(1)
+    B, L, H = 2, 6, 10
+    q = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32))
+    m_np = rng.standard_normal((B, L, L, H)).astype(np.float32)
+    m_np[0, 1, 4] = 0.0  # invalid cell: clamped branch
+    m = jnp.asarray(m_np)
+    g_np = rng.standard_normal((B, L, L)).astype(np.float32)
+    # the CCA loss masks invalid cells, so their cotangent is 0 — mirror
+    # that here (with g != 0 both forms give the same huge g*q/eps value,
+    # but that's not a regime the model reaches)
+    g_np[0, 1, 4] = 0.0
+    g = jnp.asarray(g_np)
+
+    def product_form(q, m):
+        return jnp.sum(l2norm(q[:, None, None, :] * m), axis=-1)
+
+    np.testing.assert_allclose(np.asarray(cosine_sum_scores(q, m)),
+                               np.asarray(product_form(q, m)), atol=1e-5, rtol=1e-5)
+
+    def wrap(fn):
+        return lambda q_, m_: jnp.sum(fn(q_, m_) * g)
+
+    dq_got, dm_got = jax.grad(wrap(cosine_sum_scores), argnums=(0, 1))(q, m)
+    dq_want, dm_want = jax.grad(wrap(product_form), argnums=(0, 1))(q, m)
+    np.testing.assert_allclose(np.asarray(dq_got), np.asarray(dq_want),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dm_got), np.asarray(dm_want),
+                               atol=1e-4, rtol=1e-4)
+    # the clamped cell passes no gradient in either formulation
+    assert np.allclose(np.asarray(dm_got)[0, 1, 4], 0.0)

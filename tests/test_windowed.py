@@ -67,3 +67,38 @@ def test_strided_segment_max_map_values_unchanged():
         for i in range(0, L - o, s):
             np.testing.assert_array_equal(
                 np.asarray(got[:, i, i + o, :]), xa[:, i:i + o + 1, :].max(axis=1))
+
+
+def test_cell_gather_map_matches_scatter_fwd_and_grad():
+    """The one-gather map assembly is bit-exact vs the scatter chain, in both
+    the forward values AND the gradient wrt x (custom-VJP gather transpose)."""
+    rng = np.random.default_rng(3)
+    L = 64
+    x = jnp.asarray(rng.normal(size=(2, L, 3)).astype(np.float32))
+    _, cells = cca_strided_mask_meta([15, 8, 8], L)
+    w = jnp.asarray(rng.normal(size=(2, L, L, 3)).astype(np.float32))
+
+    np.testing.assert_array_equal(
+        np.asarray(strided_segment_max_map(x, cells, impl="gather")),
+        np.asarray(strided_segment_max_map(x, cells, impl="scatter")))
+
+    def loss(impl):
+        return lambda x_: jnp.sum(strided_segment_max_map(x_, cells, impl=impl) * w)
+
+    g_gather = jax.jit(jax.grad(loss("gather")))(x)
+    g_scatter = jax.jit(jax.grad(loss("scatter")))(x)
+    # fp summation order differs between the two formulations' backwards
+    np.testing.assert_allclose(np.asarray(g_gather), np.asarray(g_scatter),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_cell_gather_map_invalid_cells_zero():
+    from vmrframe_tpu.ops.windowed import cell_segment_max_map
+
+    rng = np.random.default_rng(4)
+    L = 32
+    x = jnp.asarray(rng.normal(size=(1, L, 2)).astype(np.float32) + 5.0)  # positive
+    mask, cells = cca_strided_mask_meta([7, 4], L)
+    got = np.asarray(cell_segment_max_map(x, cells))
+    assert (got[:, ~mask, :] == 0.0).all()
+    assert (got[:, mask, :] > 0.0).all()

@@ -72,9 +72,22 @@ def cca_strided_mask_meta(pooling_counts, N):
     return mask, cells
 
 
-def strided_segment_max_map(x: jnp.ndarray, cells) -> jnp.ndarray:
+def strided_segment_max_map(x: jnp.ndarray, cells, impl: str = "gather") -> jnp.ndarray:
     """(B, L, D) -> (B, L, L, D) with cell (i, i+o) = max(x[i..i+o]) for the
-    strided diagonal set."""
+    strided diagonal set.
+
+    impl "gather" (default): ops/windowed.py::cell_segment_max_map — one
+    static gather over stacked window maxima, custom-VJP gather backward.
+    Bit-exact vs "scatter" (the original per-offset ``.at[].set`` chain,
+    kept measurable: in train mode every scatter became its own full-map
+    select fusion — ~26 ms of CCA's 57 ms step, docs/TRACE_CCA_TRAIN.json /
+    docs/ROOFLINE_TRACE_TRAIN.json).  Round-5 same-session on-chip A/B
+    (BENCH_ZOO CCA vs CCA_scattermap, measured_round 5): train 22.83 vs
+    56.28 ms/step (2.5x), HBM 3.94 vs 20.95 GB/step; eval unchanged."""
+    if impl == "gather":
+        from vmrframe_tpu.ops.windowed import cell_segment_max_map
+
+        return cell_segment_max_map(x, cells)
     B, L, D = x.shape
     out = jnp.zeros((B, L, L, D), x.dtype)
     out = out.at[:, jnp.arange(L), jnp.arange(L), :].set(x)
@@ -83,6 +96,54 @@ def strided_segment_max_map(x: jnp.ndarray, cells) -> jnp.ndarray:
         i = jnp.arange(0, L - o, s)
         out = out.at[:, i, i + o, :].set(wins[o + 1][:, i])
     return out
+
+
+_COS_EPS2 = 1e-24  # (1e-12)^2 — l2norm's clamp, squared
+
+
+@jax.custom_vjp
+def cosine_sum_scores(q: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """sum_h l2norm(q * m)_h == (sum_h q_h m_h) / sqrt(max(sum_h q_h^2 m_h^2, eps^2)).
+
+    The reference's normalize-then-sum cosine (models/CCA.py:366-374) as a
+    custom-VJP op: the forward is the contraction form (the (B, L, L, H)
+    product never materializes — the round-4 eval win), and the backward is
+    the hand-derived fused form
+
+        dm = (g/den) q - (g num/den^3) q^2 m        (one map-sized pass)
+        dq = <g/den, m> - q <g num/den^3, m^2>      (two H-contractions)
+
+    instead of autodiff's bij,bh->bijh outer-product re-materialization of
+    the map (the round-4 1.5x train regression, docs/ROADMAP.md) or the
+    product form's map-sized residual chain.  q: (B, H), m: (B, L, L, H).
+    """
+    num = jnp.einsum("bh,bijh->bij", q, m)
+    den = jnp.sqrt(jnp.maximum(
+        jnp.einsum("bh,bijh->bij", jnp.square(q), jnp.square(m)), _COS_EPS2))
+    return num / den
+
+
+def _css_fwd(q, m):
+    num = jnp.einsum("bh,bijh->bij", q, m)
+    d2 = jnp.einsum("bh,bijh->bij", jnp.square(q), jnp.square(m))
+    den = jnp.sqrt(jnp.maximum(d2, _COS_EPS2))
+    return num / den, (q, m, num, den, d2)
+
+
+def _css_bwd(res, g):
+    q, m, num, den, d2 = res
+    a = g / den
+    # max(d2, eps^2) passes gradient only where d2 > eps^2 (all-zero map
+    # cells sit in the clamped branch: den is constant there)
+    b = jnp.where(d2 > _COS_EPS2, g * num / (den * den * den), 0.0)
+    q2 = jnp.square(q)
+    dm = a[..., None] * q[:, None, None, :] - b[..., None] * q2[:, None, None, :] * m
+    dq = (jnp.einsum("bij,bijh->bh", a, m)
+          - q * jnp.einsum("bij,bijh,bijh->bh", b, m, m))
+    return dq, dm
+
+
+cosine_sum_scores.defvjp(_css_fwd, _css_bwd)
 
 
 class ConceptGCN(nn.Module):
@@ -272,7 +333,9 @@ class CCA(nn.Module):
         feats = x[:, :, :L].transpose(0, 2, 1)  # (B, L, H)
 
         _, cells = cca_strided_mask_meta(list(mc.FEAT2D.POOLING_COUNTS), L)
-        map2d = strided_segment_max_map(feats, cells)  # (B, L, L, H)
+        map_impl = str(self.cfg.others.get("cca_map_impl", "gather")) \
+            if "others" in self.cfg else "gather"
+        map2d = strided_segment_max_map(feats, cells, impl=map_impl)  # (B, L, L, H)
 
         # ---- SimPredictor (models/CCA.py:230-259) ----
         unk = self.param("unk_vec", nn.initializers.xavier_uniform(), (1, cfg.model.word_dim))
@@ -314,14 +377,24 @@ class CCA(nn.Module):
         #   commit 89fe514 landed with only a CPU A/B).
         # "product": the broadcast q*m + l2norm chain XLA fuses into the map
         #   producer — the formulation the r3 63.9 ms train row measured.
-        # others.cca_contraction_scores: "eval" (default — contraction in
-        # deterministic mode only), "always", or "never".
-        mode = str(self.cfg.others.get("cca_contraction_scores", "eval")) \
-            if "others" in self.cfg else "eval"
+        # others.cca_contraction_scores: "vjp" (default — cosine_sum_scores,
+        # the custom-VJP op above, in BOTH modes: contraction forward + the
+        # fused hand-derived backward), "eval" (contraction forward in
+        # deterministic mode only, product form in training — the round-4
+        # default before the custom VJP existed), "always", or "never".
+        # Round-5 same-session on-chip A/B under the gather map (BENCH_ZOO
+        # rows CCA vs CCA_legacyscores, measured_round 5): a timing TIE
+        # across two runs (vjp 22.83/22.70 vs product 22.55/22.96 ms/step) —
+        # vjp stays default for its lower step traffic (3.94 vs 4.35 GB) and
+        # for being mode-uniform (no train/eval formulation split).
+        mode = str(self.cfg.others.get("cca_contraction_scores", "vjp")) \
+            if "others" in self.cfg else "vjp"
         use_contraction = (mode == "always") or (mode == "eval" and deterministic)
         eps = 1e-12
 
         def scores(q, m):
+            if mode == "vjp":
+                return cosine_sum_scores(q, m)
             if use_contraction:
                 num = jnp.einsum("bh,bijh->bij", q, m)
                 den = jnp.sqrt(jnp.maximum(

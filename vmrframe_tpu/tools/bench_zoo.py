@@ -65,6 +65,22 @@ MODELS = {
                      {"paths.concept_name": "", "paths.com_concept": "",
                       "model.tlen": 25,
                       "others.cca_contraction_scores": "always"}),
+    # round-5 CCA train attack (docs/ROOFLINE_TRACE_TRAIN.json: the r4-default
+    # step ran at 35% of its realizable floor — ~26 ms of map scatters +
+    # product-form scores).  New defaults: one-gather map assembly
+    # (ops/windowed.py::cell_segment_max_map) + custom-VJP cosine scores
+    # (models/cca.py::cosine_sum_scores).  Twins isolate each knob:
+    "CCA_scattermap": (f"{REF}/anet/CCA.yaml",
+                       {"paths.concept_name": "", "paths.com_concept": "",
+                        "model.tlen": 25, "others.cca_map_impl": "scatter"}),
+    "CCA_legacyscores": (f"{REF}/anet/CCA.yaml",
+                         {"paths.concept_name": "", "paths.com_concept": "",
+                          "model.tlen": 25,
+                          "others.cca_contraction_scores": "eval"}),
+    "CCA_r4default": (f"{REF}/anet/CCA.yaml",
+                      {"paths.concept_name": "", "paths.com_concept": "",
+                       "model.tlen": 25, "others.cca_map_impl": "scatter",
+                       "others.cca_contraction_scores": "eval"}),
     # ...and the forced-flat twin for the flat-vs-tree A/B at CCA dims
     # (tree is CCA's registry default after the same-session 57.1-vs-62.7 A/B)
     "CCA_flatopt": (f"{REF}/anet/CCA.yaml",
