@@ -16,11 +16,13 @@ the only cross-mesh difference left is all-reduce summation order.
 
 Tolerances: losses/ious at 1e-6 (the sharp check — the step-2 loss runs the
 forward on step-1's UPDATED params, so any real parameter divergence shows
-up here at full precision).  Updated params at 1e-4: Adam's first-step
+up here at full precision).  Updated params at 5e-4: Adam's first-step
 update is ~lr·g/(|g|+eps), which amplifies f32 summation-order noise
 unboundedly for elements with |g| near eps (measured: a 1.9e-6 one-step
 loss delta, pure reduction order, produces up to ~5e-5 on isolated
-near-zero-gradient params) — a real sharding bug (wrong PartitionSpec,
+near-zero-gradient params with the conv depthwise lowering, and ~1.2e-4 on
+a scalar predictor bias after the round-5 shift-formulation change to the
+weight-grad reduction order) — a real sharding bug (wrong PartitionSpec,
 missing psum) changes grads at O(1) relative and blows both checks.
 """
 
@@ -96,6 +98,6 @@ def test_sharded_step_matches_single_device(family, partitionable_threefry):
         if not jnp.issubdtype(a.dtype, jnp.floating):
             continue
         np.testing.assert_allclose(
-            a, b, rtol=1e-4, atol=1e-4,
+            a, b, rtol=5e-4, atol=5e-4,
             err_msg=f"updated param {jax.tree_util.keystr(path)} diverges "
                     "between the 8-device and 1-device train steps")

@@ -153,3 +153,33 @@ def test_seqpan_predictor_shapes():
     params = mod.init(jax.random.PRNGKey(0), x, mask)
     s, e = mod.apply(params, x, mask)
     assert s.shape == (B, L) and e.shape == (B, L)
+
+
+def test_depthwise_shift_matches_conv_fwd_and_grad():
+    """DepthwiseConv1D impl="shift" (k shifted multiply-adds) vs the grouped
+    conv lowering: same params, same outputs and grads to 1e-6."""
+    from vmrframe_tpu.layers.basic import DepthwiseConv1D
+
+    rng = np.random.default_rng(0)
+    B, L, D, k = 4, 33, 16, 7
+    x = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32))
+    conv = DepthwiseConv1D(D, k, impl="conv")
+    shift = DepthwiseConv1D(D, k, impl="shift")
+    variables = conv.init(jax.random.PRNGKey(0), x)
+    y_conv = conv.apply(variables, x)
+    y_shift = shift.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(y_conv), np.asarray(y_shift),
+                               atol=1e-6, rtol=1e-6)
+
+    def loss(fn):
+        return lambda v, x_: jnp.sum(fn.apply(v, x_) * g)
+
+    gv_c, gx_c = jax.grad(loss(conv), argnums=(0, 1))(variables, x)
+    gv_s, gx_s = jax.grad(loss(shift), argnums=(0, 1))(variables, x)
+    np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_s),
+                               atol=1e-5, rtol=1e-5)
+    kc = jax.tree_util.tree_leaves(gv_c)[0]
+    ks = jax.tree_util.tree_leaves(gv_s)[0]
+    np.testing.assert_allclose(np.asarray(kc), np.asarray(ks),
+                               atol=1e-4, rtol=1e-4)

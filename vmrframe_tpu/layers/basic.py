@@ -328,6 +328,79 @@ class VisualProjection(nn.Module):
         return LayerNorm(name="v_layer_norm")(x)
 
 
+_DEFAULT_DEPTHWISE_IMPL = "conv"
+_DW_TRACED_WITH: Optional[str] = None
+
+
+def set_default_depthwise_impl(impl: str) -> None:
+    """Process-wide depthwise-conv formulation default (read at TRACE time,
+    same contract as layers/dropout.py::set_default_dropout_bits —
+    ``VMR_DEPTHWISE_IMPL`` wins; changing it after a trace warns loudly).
+
+    "conv": XLA's grouped-conv lowering.  "shift": k shifted multiply-adds
+    (see DepthwiseConv1D).  "shift_train": shift in training, conv in
+    deterministic mode — for a mode-split default if the A/B splits."""
+    global _DEFAULT_DEPTHWISE_IMPL
+    impl = str(impl)
+    if _DW_TRACED_WITH is not None and impl != _DEFAULT_DEPTHWISE_IMPL:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "set_default_depthwise_impl(%s) called after a DepthwiseConv1D "
+            "traced with %s — already-compiled functions keep the old "
+            "formulation.", impl, _DW_TRACED_WITH)
+    _DEFAULT_DEPTHWISE_IMPL = impl
+
+
+def depthwise_impl(deterministic: bool) -> str:
+    import os
+
+    mode = os.environ.get("VMR_DEPTHWISE_IMPL", _DEFAULT_DEPTHWISE_IMPL)
+    if mode == "shift_train":
+        return "conv" if deterministic else "shift"
+    return mode
+
+
+class DepthwiseConv1D(nn.Module):
+    """Depthwise k-tap conv over (B, L, D) — param-compatible with
+    nn.Conv(feature_group_count=D): kernel (k, 1, D), no bias, SAME padding.
+
+    impl "conv" is the grouped-conv lowering.  impl "shift" computes the
+    same contraction as k shifted multiply-adds on a zero-padded tensor —
+    XLA fuses the taps into one elementwise pass, and the backward becomes
+    k shifted adds (data grad) + k (B,L)-reductions (weight grad) instead
+    of the grouped-conv grad fusions the round-5 SeqPAN train trace
+    measured at ~61 us each / 103 GB/s (docs/TRACE_SEQPAN_TRAIN.json
+    fusion.5971 et al).  Same multiplies, same 7-term add order ->
+    numerically equal to the conv lowering within f32 reassociation
+    (tests/test_layers.py pins them to 1e-6)."""
+
+    dim: int
+    kernel_size: int = 7
+    impl: str = "conv"
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        kernel = self.param("kernel", torch_linear_init_conv(k), (k, 1, self.dim))
+        global _DW_TRACED_WITH
+        if _DW_TRACED_WITH is None:
+            _DW_TRACED_WITH = self.impl
+        if self.impl == "conv":
+            return jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype), window_strides=(1,), padding="SAME",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=self.dim)
+        L = x.shape[1]
+        pad_lo = (k - 1) // 2
+        xp = jnp.pad(x, ((0, 0), (pad_lo, k - 1 - pad_lo), (0, 0)))
+        w = kernel[:, 0, :].astype(x.dtype)  # (k, D)
+        out = xp[:, 0:L, :] * w[0]
+        for i in range(1, k):
+            out = out + xp[:, i:i + L, :] * w[i]
+        return out
+
+
 class DepthwiseSeparableConvBlock(nn.Module):
     """N × (LN -> depthwise k=7 -> pointwise -> ReLU -> dropout -> residual)
     (models/layers.py:126-148)."""
@@ -340,19 +413,13 @@ class DepthwiseSeparableConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         output = x
+        impl = depthwise_impl(deterministic)
         for idx in range(self.num_layers):
             residual = output
             output = LayerNorm(name=f"layer_norm_{idx}")(output)
             # depthwise conv: groups == dim, no bias (torch fan_in = k * 1)
-            output = nn.Conv(
-                features=self.dim,
-                kernel_size=(self.kernel_size,),
-                feature_group_count=self.dim,
-                padding="SAME",
-                use_bias=False,
-                kernel_init=torch_linear_init_conv(self.kernel_size),
-                name=f"depthwise_{idx}",
-            )(output)
+            output = DepthwiseConv1D(self.dim, self.kernel_size, impl=impl,
+                                     name=f"depthwise_{idx}")(output)
             output = Conv1D(self.dim, name=f"pointwise_{idx}")(output)
             output = jax.nn.relu(output)
             output = Dropout(self.droprate)(output, deterministic=deterministic)

@@ -180,21 +180,19 @@ class TemporalDifference(nn.Module):
 
 
 def segment_max_map(x: jnp.ndarray, offsets) -> jnp.ndarray:
-    """Scatter seg-max diagonals into a dense (B, L, L, D) map.
+    """Dense (B, L, L, D) seg-max map (the non-compact fallback path).
 
     x: (B, L, D).  For offset o, cell (i, i+o) = max(x[i..i+o]) — the exact
     values the reference's iterated max-pool chain produces
     (BANlib/model.py:257-290), computed via shared sparse-table windowed
-    maxima (two elementwise maxes per offset instead of an O(o) reduction).
+    maxima and assembled with ONE static gather
+    (ops/windowed.py::cell_segment_max_map — the per-offset scatter chain it
+    replaces compiled to a full-map select fusion per offset in train mode,
+    the CCA round-5 finding; bit-exact either way).
     """
-    B, L, D = x.shape
-    map2d = jnp.zeros((B, L, L, D), x.dtype)
-    map2d = map2d.at[:, jnp.arange(L), jnp.arange(L), :].set(x)
-    wins = all_windowed_maxes(x, [o + 1 for o in offsets])
-    for o in offsets:
-        i = jnp.arange(L - o)
-        map2d = map2d.at[:, i, i + o, :].set(wins[o + 1])
-    return map2d
+    from vmrframe_tpu.ops.windowed import cell_segment_max_map
+
+    return cell_segment_max_map(x, [(int(o), 1) for o in offsets])
 
 
 def _mask_meta(pooling_counts, L) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

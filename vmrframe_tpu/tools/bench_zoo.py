@@ -110,6 +110,16 @@ MODELS = {
     "BANLong": (f"{REPO}/configs/tacos_ban_long.yaml", {}),
     # throughput variant: the compact map leaves HBM headroom for 4x batch
     "BANLong_B32": (f"{REPO}/configs/tacos_ban_long.yaml", {"train.batch_size": 32}),
+    # round-5 depthwise-conv formulation A/B (layers/basic.py::DepthwiseConv1D):
+    # shift = k shifted multiply-adds instead of the grouped-conv lowering
+    # whose train-grad fusions measured ~61 us each at 103 GB/s
+    # (docs/TRACE_SEQPAN_TRAIN.json)
+    "SeqPAN_shiftconv": (f"{REF}/charades/SeqPAN.yaml",
+                         {"train.depthwise_impl": "shift"}),
+    # ...and the conv-forced twin (the pre-round-5 both-modes behavior;
+    # the shipped default is the mode split "shift_train")
+    "SeqPAN_convdw": (f"{REF}/charades/SeqPAN.yaml",
+                      {"train.depthwise_impl": "conv"}),
     # round-4 dropout-bits A/B: 32 forces the flax-exact u32 masks (the
     # pre-round-4 behavior) against the u8 default (layers/dropout.py)
     "SeqPAN_u32drop": (f"{REF}/charades/SeqPAN.yaml", {"train.dropout_bits": 32}),

@@ -99,6 +99,14 @@ class Trainer:
         # time; set before any step of THIS trainer traces.
         from vmrframe_tpu.layers.dropout import set_default_dropout_bits
         set_default_dropout_bits(int(cfg.train.get("dropout_bits", 8)))
+        # depthwise-conv formulation (layers/basic.py): "conv" = XLA grouped
+        # conv; "shift" = k shifted multiply-adds; default "shift_train" =
+        # mode-split per the round-5 same-session on-chip A/B (BENCH_ZOO
+        # SeqPAN vs SeqPAN_shiftconv, measured_round 5: shift wins train
+        # 5.86 -> 5.42 ms/step but loses eval 0.82 -> 0.87 — each mode keeps
+        # its measured winner, like the banded-kernel mode split).
+        from vmrframe_tpu.layers.basic import set_default_depthwise_impl
+        set_default_depthwise_impl(str(cfg.train.get("depthwise_impl", "shift_train")))
 
         self._repl = NamedSharding(self.mesh, P())
         self._batch_shard = NamedSharding(self.mesh, P("data"))
