@@ -131,6 +131,11 @@ MODELS = {
     # mixed-precision training variants (train.compute_dtype)
     "SeqPAN_bf16": (f"{REF}/charades/SeqPAN.yaml",
                     {"train.compute_dtype": "bfloat16"}),
+    # ...with the depthwise conv lowering forced (is the shift-conv train
+    # win dtype-dependent?)
+    "SeqPAN_bf16_convdw": (f"{REF}/charades/SeqPAN.yaml",
+                           {"train.compute_dtype": "bfloat16",
+                            "train.depthwise_impl": "conv"}),
     "BAN_bf16": (f"{REF}/charades/BAN.json",
                  {"model.tlen": 25, "train.compute_dtype": "bfloat16"}),
     "CCA_bf16": (f"{REF}/anet/CCA.yaml",
